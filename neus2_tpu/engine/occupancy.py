@@ -1,0 +1,175 @@
+"""Occupancy (density) grid: cascaded 128^3 EMA grid + bitfield, fully on-device.
+
+TPU-native restatement of the reference's density-grid maintenance
+(reference: src/testbed_nerf.cu:640-800 splat/EMA/bitfield/maxpool kernels and
+3293-3397 update_density_grid_nerf / update_density_grid_mean_and_bitfield):
+
+  * grid value = NeuS logistic density s*sig(s*sdf)*(1-sig(s*sdf)) probed at a
+    jittered position inside each cell;
+  * EMA merge: val' = max(val * decay, probe) (unprobed cells simply decay);
+  * bitfield: val > min(NERF_MIN_OPTICAL_THICKNESS, mean(cascade-0 density));
+  * cascade k covers the box of side 2^k centered at (0.5,)^3; coarser
+    cascades also inherit (max-pool) the finer cascade's bits in their
+    central half (reference bitfield_max_pool).
+
+Instead of the reference's RNG rejection sampling of cells, probing is a
+deterministic round-robin permutation slice over all cells plus a uniformly
+random batch — fixed shapes, full coverage every ``ceil(n_cells/n_probe)``
+updates, no atomics (scatter-max is `.at[].max`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from neus2_tpu.constants import (
+    DENSITY_GRID_DECAY,
+    NERF_GRIDSIZE,
+    NERF_MIN_OPTICAL_THICKNESS,
+)
+
+# A prime much larger than any cell count, used to build the probe permutation
+# i -> (i * PRIME) % n_cells (bijective when gcd(PRIME, n_cells) == 1; n_cells
+# is a power of two times a cascade count, and the prime is odd).
+_PROBE_PRIME = 2654435761
+
+
+class OccupancyGrid(NamedTuple):
+    density: jnp.ndarray  # (C, G, G, G) float32, -1 marks culled cells
+    bitfield: jnp.ndarray  # (C, G, G, G) bool
+    ema_step: jnp.ndarray  # () int32
+
+    @property
+    def n_cascades(self) -> int:
+        return self.density.shape[0]
+
+    @property
+    def grid_size(self) -> int:
+        return self.density.shape[1]
+
+
+def init_occupancy(n_cascades: int = 1, grid_size: int = NERF_GRIDSIZE) -> OccupancyGrid:
+    shape = (n_cascades, grid_size, grid_size, grid_size)
+    return OccupancyGrid(
+        density=jnp.zeros(shape, jnp.float32),
+        bitfield=jnp.zeros(shape, bool),
+        ema_step=jnp.zeros((), jnp.int32),
+    )
+
+
+def cell_position(
+    cell_idx: jnp.ndarray, cascade: jnp.ndarray, jitter: jnp.ndarray, grid_size: int
+) -> jnp.ndarray:
+    """World position of a jittered point inside a cell.
+
+    Matches generate_grid_samples_nerf_nonuniform (testbed_nerf.cu:660-667):
+    pos = ((cell + u)/G - 0.5) * 2^cascade + 0.5 with u ~ U[0,1)^3.
+    """
+    xyz = jnp.stack(
+        [
+            cell_idx % grid_size,
+            (cell_idx // grid_size) % grid_size,
+            cell_idx // (grid_size * grid_size),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+    scale = jnp.exp2(cascade.astype(jnp.float32))[..., None]
+    return ((xyz + jitter) / grid_size - 0.5) * scale + 0.5
+
+
+def probe_cells(
+    state: OccupancyGrid, key: jax.Array, n_probe: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pick cells to probe: half round-robin over all cells, half uniform.
+
+    Returns (flat cell indices (P,), cascade indices (P,), world positions (P,3)).
+    """
+    c = state.n_cascades
+    g = state.grid_size
+    n_cells = c * g * g * g
+    n_rr = n_probe // 2
+    base = (state.ema_step.astype(jnp.uint32) * jnp.uint32(n_rr)).astype(jnp.uint32)
+    i = jnp.arange(n_rr, dtype=jnp.uint32) + base
+    rr = ((i * jnp.uint32(_PROBE_PRIME)) % jnp.uint32(n_cells)).astype(jnp.int32)
+    k_u, k_j = jax.random.split(key)
+    uni = jax.random.randint(k_u, (n_probe - n_rr,), 0, n_cells)
+    flat = jnp.concatenate([rr, uni])
+    cascade = flat // (g * g * g)
+    cell = flat % (g * g * g)
+    jitter = jax.random.uniform(k_j, (n_probe, 3))
+    pos = cell_position(cell, cascade, jitter, g)
+    return flat, cascade, pos
+
+
+def merge_probes(
+    state: OccupancyGrid,
+    flat_idx: jnp.ndarray,
+    densities: jnp.ndarray,
+    decay: float = DENSITY_GRID_DECAY,
+) -> OccupancyGrid:
+    """Scatter-max the probe densities and EMA-merge into the grid."""
+    c, g = state.n_cascades, state.grid_size
+    tmp = jnp.zeros((c * g * g * g,), jnp.float32).at[flat_idx].max(densities)
+    prev = state.density.reshape(-1)
+    merged = jnp.where(prev < 0.0, prev, jnp.maximum(prev * decay, tmp))
+    return state._replace(
+        density=merged.reshape(state.density.shape),
+        ema_step=state.ema_step + 1,
+    )
+
+
+def update_bitfield(state: OccupancyGrid) -> OccupancyGrid:
+    """Threshold to bits + cascade max-pool (reference grid_to_bitfield +
+    bitfield_max_pool, testbed_nerf.cu:748-795)."""
+    g = state.grid_size
+    mean0 = jnp.mean(jnp.maximum(state.density[0], 0.0))
+    thresh = jnp.minimum(NERF_MIN_OPTICAL_THICKNESS, mean0)
+    bits = state.density > thresh
+    # Coarser cascades inherit the finer cascade's occupancy in their central
+    # half: maxpool cascade k's G^3 down to (G/2)^3 and OR into cascade k+1.
+    if state.n_cascades > 1:
+        levels = [bits[0]]
+        q = g // 4
+        for k in range(1, state.n_cascades):
+            finer = levels[k - 1]
+            pooled = finer.reshape(g // 2, 2, g // 2, 2, g // 2, 2).any(axis=(1, 3, 5))
+            lvl = bits[k].at[q : 3 * q, q : 3 * q, q : 3 * q].max(pooled)
+            levels.append(lvl)
+        bits = jnp.stack(levels)
+    return state._replace(bitfield=bits)
+
+
+def reset_density(state: OccupancyGrid) -> OccupancyGrid:
+    """Re-seed all cells (reference reset_density_grid_nerf,
+    testbed_nerf.cu:3205: used after a global-movement phase)."""
+    return OccupancyGrid(
+        density=jnp.zeros_like(state.density),
+        bitfield=jnp.zeros_like(state.bitfield),
+        ema_step=jnp.zeros((), jnp.int32),
+    )
+
+
+def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
+    """Smallest cascade whose box contains pos (reference common_device.cuh)."""
+    d = jnp.max(jnp.abs(pos - 0.5), axis=-1)
+    # cascade k covers |x-0.5| < 2^(k-1); exponent of the float is the mip.
+    mip = jnp.ceil(jnp.log2(jnp.maximum(d * 2.0, 1e-10)))
+    return jnp.clip(mip, 0, max_cascade).astype(jnp.int32)
+
+
+def occupancy_at(state: OccupancyGrid, pos: jnp.ndarray) -> jnp.ndarray:
+    """Bitfield lookup at world positions (..., 3) using the per-point mip."""
+    g = state.grid_size
+    mip = mip_from_pos(pos, state.n_cascades - 1)
+    scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    rel = (pos - 0.5) * scale + 0.5
+    cell = jnp.floor(rel * g).astype(jnp.int32)
+    inside = jnp.all((cell >= 0) & (cell < g), axis=-1)
+    cell = jnp.clip(cell, 0, g - 1)
+    # Flat cell index convention is x-fastest (cell_position), so the (G,G,G)
+    # array axes are (z, y, x).
+    occ = state.bitfield[mip, cell[..., 2], cell[..., 1], cell[..., 0]]
+    return occ & inside

@@ -1,0 +1,87 @@
+"""Camera model and pixel -> ray generation.
+
+Convention matches the reference (reference: include/neural-graphics-primitives/
+common_device.cuh:246-310 pixel_to_ray): uv in [0,1]^2, camera-space direction
+((u - cx)*W/fx, (v - cy)*H/fy, 1) rotated by the camera-to-world 3x3 block;
+origin is column 3.  Cameras are stored stacked for the whole dataset so a
+batch of (image_idx, uv) pairs turns into rays with two gathers and a matmul.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Cameras(NamedTuple):
+    """Per-image pinhole cameras (N images)."""
+
+    poses: jnp.ndarray  # (N, 3, 4) camera-to-world
+    focal: jnp.ndarray  # (N, 2) fx, fy in pixels
+    principal: jnp.ndarray  # (N, 2) cx, cy relative to resolution ([0,1])
+    resolution: tuple[int, int]  # (W, H), static
+
+    @property
+    def n_images(self) -> int:
+        return self.poses.shape[0]
+
+
+def pixel_to_ray(
+    cameras: Cameras, img_idx: jnp.ndarray, uv: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rays for a batch of (image index, uv in [0,1]^2) pairs.
+
+    Returns (origin (B, 3), direction (B, 3) normalized).
+    """
+    poses = cameras.poses[img_idx]  # (B, 3, 4)
+    focal = cameras.focal[img_idx]  # (B, 2)
+    principal = cameras.principal[img_idx]  # (B, 2)
+    w, h = cameras.resolution
+    res = jnp.array([w, h], jnp.float32)
+    xy = (uv - principal) * res / focal
+    dir_cam = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+    direction = jnp.einsum("bij,bj->bi", poses[..., :3], dir_cam)
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    origin = poses[..., 3]
+    return origin, direction
+
+
+def sample_training_rays(
+    key: jax.Array,
+    cameras: Cameras,
+    images: jnp.ndarray,  # (N, H, W, 4) RGBA, alpha = mask
+    n_rays: int,
+    snap_to_pixel_centers: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Uniformly sample training rays and fetch their RGBA targets.
+
+    Mirrors the uniform path of the reference sampler (testbed_nerf.cu:1263+,
+    image_idx / nerf_random_image_pos_training in common_device.cuh) without
+    error-map importance sampling (that is an optional extension).
+
+    Returns (origins (B,3), dirs (B,3), rgba (B,4), img_idx (B,)).
+    """
+    k_img, k_uv = jax.random.split(key)
+    img_idx = jax.random.randint(k_img, (n_rays,), 0, cameras.n_images)
+    uv = jax.random.uniform(k_uv, (n_rays, 2))
+    w, h = cameras.resolution
+    px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
+    py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
+    if snap_to_pixel_centers:
+        uv = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
+    rgba = images[img_idx, py, px]
+    origins, dirs = pixel_to_ray(cameras, img_idx, uv)
+    return origins, dirs, rgba.astype(jnp.float32), img_idx
+
+
+def rays_for_image(cameras: Cameras, img_idx: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All pixel-center rays of one image, shape (H*W, 3) each."""
+    w, h = cameras.resolution
+    u = (jnp.arange(w) + 0.5) / w
+    v = (jnp.arange(h) + 0.5) / h
+    uu, vv = jnp.meshgrid(u, v)  # (H, W)
+    uv = jnp.stack([uu.ravel(), vv.ravel()], axis=-1)
+    idx = jnp.full((uv.shape[0],), img_idx, jnp.int32)
+    return pixel_to_ray(cameras, idx, uv)

@@ -1,0 +1,206 @@
+"""The NeuS composite field: hashgrid + SDF MLP + dir encoding + RGB MLP + variance.
+
+TPU-native restatement of the reference's NerfNetwork
+(reference: include/neural-graphics-primitives/nerf_network.h:49-325).  The
+reference runs an explicit "backward inside the forward" to obtain the SDF
+spatial gradient; here the normal is ``jax.grad`` of the SDF evaluated inside
+the forward function, and the whole thing stays differentiable (to second
+order, as the eikonal loss requires) by construction.
+
+All positions/directions are in *warped* coordinates ([0,1] cube / [0,1] dirs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from neus2_tpu.constants import SDF_BIAS, VARIANCE_INIT
+from neus2_tpu.models.mlp import apply_mlp, geometric_init_sdf_mlp, init_mlp
+from neus2_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, init_hashgrid
+from neus2_tpu.ops.neus_math import variance_to_inv_s
+from neus2_tpu.ops.sh import sh_encode, sh_output_dim
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """Static field configuration (reference configs/nerf/base.json:29-75)."""
+
+    grid: HashGridConfig = HashGridConfig()
+    sdf_hidden_dim: int = 64
+    sdf_n_hidden: int = 1
+    # Raw SDF-MLP output width: channel 0 = sdf, rest are geometry features
+    # fed to the RGB net (reference density_network padded_output_width = 16).
+    sdf_out_dim: int = 16
+    rgb_hidden_dim: int = 64
+    rgb_n_hidden: int = 2
+    sh_degree: int = 4
+    sdf_bias: float = SDF_BIAS
+    geometric_init: bool = True
+    init_radius: float = 0.5
+
+    @property
+    def sdf_in_dim(self) -> int:
+        return 3 + self.grid.output_dim
+
+    @property
+    def rgb_in_dim(self) -> int:
+        # [sdf features | SH(dir) | xyz | normal]
+        # (reference nerf_network.h:262-283 rgb_network_input layout)
+        return self.sdf_out_dim + sh_output_dim(self.sh_degree) + 3 + 3
+
+
+class FieldOutput(NamedTuple):
+    rgb: jnp.ndarray  # (..., 3) in [0,1] (sigmoid activated)
+    sdf: jnp.ndarray  # (...,) biased SDF
+    normal: jnp.ndarray  # (..., 3) dSDF/dpos in warped coords (unnormalized)
+    inv_s: jnp.ndarray  # scalar
+
+
+def init_field(key: jax.Array, config: FieldConfig) -> Params:
+    k_grid, k_sdf, k_rgb = jax.random.split(key, 3)
+    if config.geometric_init:
+        sdf_mlp = geometric_init_sdf_mlp(
+            k_sdf,
+            config.sdf_in_dim,
+            config.sdf_hidden_dim,
+            config.sdf_n_hidden,
+            config.sdf_out_dim,
+            radius=config.init_radius,
+            sdf_bias=config.sdf_bias,
+        )
+        sdf_mlp = _calibrate_sphere_init(sdf_mlp, config)
+    else:
+        sdf_mlp = init_mlp(
+            k_sdf,
+            config.sdf_in_dim,
+            config.sdf_hidden_dim,
+            config.sdf_n_hidden,
+            config.sdf_out_dim,
+        )
+    return {
+        "hashgrid": init_hashgrid(k_grid, config.grid),
+        "sdf_mlp": sdf_mlp,
+        "rgb_mlp": init_mlp(
+            k_rgb,
+            config.rgb_in_dim,
+            config.rgb_hidden_dim,
+            config.rgb_n_hidden,
+            3,
+        ),
+        # Single variance parameter, init 0.3 (nerf_network.h initialize_params).
+        "variance": jnp.asarray(VARIANCE_INIT, jnp.float32),
+    }
+
+
+def _raw_sdf_mlp(params: Params, sdf_mlp: Params, x: jnp.ndarray, config: FieldConfig,
+                 valid_level, max_level) -> jnp.ndarray:
+    enc = hashgrid_encode(
+        params["hashgrid"], x, config.grid, valid_level=valid_level, max_level=max_level
+    )
+    inp = jnp.concatenate([x, enc], axis=-1)
+    return apply_mlp(sdf_mlp, inp)
+
+
+def _calibrate_sphere_init(sdf_mlp: Params, config: FieldConfig) -> Params:
+    """Least-squares-correct the last layer so raw_sdf(x) ~ |x-0.5| - r - bias.
+
+    The SAL/IGR init gives f(x) proportional to |x - c| up to a
+    width-dependent constant; a one-shot linear calibration on random points
+    removes that constant exactly, guaranteeing a well-conditioned sphere init
+    for any width/depth (verified by tests/test_field.py).
+    """
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (4096, 3), jnp.float32)
+    # At init the hashgrid is ~1e-4; calibrate with the grid features zeroed.
+    enc = jnp.zeros((x.shape[0], config.grid.output_dim), jnp.float32)
+    inp = jnp.concatenate([x, enc], axis=-1)
+    raw = apply_mlp(sdf_mlp, inp)[..., 0]
+    dist = jnp.linalg.norm(x - 0.5, axis=-1)
+    # Fit raw ~ a * dist + b, then rescale so raw' = dist - radius - sdf_bias.
+    a, b = jnp.polyfit(dist, raw, 1)
+    a = jnp.where(jnp.abs(a) < 1e-6, 1.0, a)
+    layers = [dict(l) for l in sdf_mlp["layers"]]
+    last = dict(layers[-1])
+    target_b = -(config.init_radius + config.sdf_bias)
+    last["w"] = last["w"].at[:, 0].multiply(1.0 / a)
+    last["b"] = last["b"].at[0].set(target_b - b / a)
+    layers[-1] = last
+    return {"layers": layers}
+
+
+def sdf_fn(
+    params: Params,
+    x: jnp.ndarray,
+    config: FieldConfig,
+    valid_level=None,
+    max_level=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Biased SDF and geometry features at warped positions x (..., 3).
+
+    Returns (sdf (...,), features (..., sdf_out_dim)); features keep the raw
+    (unbiased) sdf in channel 0 as the reference feeds them to the RGB net.
+    """
+    out = _raw_sdf_mlp(params, params["sdf_mlp"], x, config, valid_level, max_level)
+    return out[..., 0] + config.sdf_bias, out
+
+
+def sdf_normal_features(
+    params: Params,
+    x: jnp.ndarray,
+    config: FieldConfig,
+    valid_level=None,
+    max_level=None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(sdf, normal, features) with normal = dSDF/dx, differentiable twice.
+
+    Replaces the reference's in-forward MLP+grid backward with
+    EGradientMode::Ignore (nerf_network.h:228-259).
+    """
+    # One batched VJP computes every per-sample gradient at once (samples are
+    # independent, so pulling back a ones-cotangent on the scalar sdf yields
+    # exactly dSDF_i/dx_i).  The VJP computation itself is traced, so outer
+    # differentiation (eikonal grad-of-grad, param grads) flows through it.
+    def f(xi):
+        return sdf_fn(params, xi, config, valid_level, max_level)
+
+    (s, feat), vjp = jax.vjp(f, x)
+    (normal,) = vjp((jnp.ones_like(s), jnp.zeros_like(feat)))
+    return s, normal, feat
+
+
+def rgb_fn(
+    params: Params,
+    features: jnp.ndarray,
+    x: jnp.ndarray,
+    normal: jnp.ndarray,
+    dir_warped: jnp.ndarray,
+    config: FieldConfig,
+) -> jnp.ndarray:
+    """RGB head. Input layout mirrors nerf_network.h:262-283:
+    [sdf features | SH(warped dir) | xyz | dSDF/dx]; sigmoid output activation
+    (reference ENerfActivation::Logistic for rgb).
+    """
+    sh = sh_encode(dir_warped, config.sh_degree).astype(features.dtype)
+    inp = jnp.concatenate([features, sh, x, normal], axis=-1)
+    return jax.nn.sigmoid(apply_mlp(params["rgb_mlp"], inp))
+
+
+def field_forward(
+    params: Params,
+    x: jnp.ndarray,
+    dir_warped: jnp.ndarray,
+    config: FieldConfig,
+    valid_level=None,
+    max_level=None,
+) -> FieldOutput:
+    """Full field evaluation at warped positions/directions."""
+    sdf, normal, feat = sdf_normal_features(params, x, config, valid_level, max_level)
+    rgb = rgb_fn(params, feat, x, normal, dir_warped, config)
+    inv_s = variance_to_inv_s(params["variance"])
+    return FieldOutput(rgb=rgb, sdf=sdf, normal=normal, inv_s=inv_s)

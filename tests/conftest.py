@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the standard JAX trick for testing shard_map/pjit collectives without
+TPU hardware (SURVEY.md §4).  Note: in the axon environment the TPU platform
+registers itself regardless of JAX_PLATFORMS, so we additionally pin the
+default device to CPU — tests must not round-trip through the TPU tunnel.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
+
+
+def cpu_devices():
+    return jax.devices("cpu")
