@@ -108,28 +108,32 @@ def _raw_sdf_mlp(params: Params, sdf_mlp: Params, x: jnp.ndarray, config: FieldC
 
 
 def _calibrate_sphere_init(sdf_mlp: Params, config: FieldConfig) -> Params:
-    """Least-squares-correct the last layer so raw_sdf(x) ~ |x-0.5| - r - bias.
+    """Least-squares-fit the last layer so raw_sdf(x) ~ |x-0.5| - r - bias.
 
-    The SAL/IGR init gives f(x) proportional to |x - c| up to a
-    width-dependent constant; a one-shot linear calibration on random points
-    removes that constant exactly, guaranteeing a well-conditioned sphere init
-    for any width/depth (verified by tests/test_field.py).
+    The SAL/IGR init gives hidden features whose span contains a good radial
+    basis; solving a ridge regression of the *actual* hidden activations
+    against the target sphere SDF makes the initialization exact up to MLP
+    expressivity, for any width/depth (verified by tests/test_field.py).
     """
     key = jax.random.PRNGKey(7)
-    x = jax.random.uniform(key, (4096, 3), jnp.float32)
+    x = jax.random.uniform(key, (8192, 3), jnp.float32)
     # At init the hashgrid is ~1e-4; calibrate with the grid features zeroed.
     enc = jnp.zeros((x.shape[0], config.grid.output_dim), jnp.float32)
-    inp = jnp.concatenate([x, enc], axis=-1)
-    raw = apply_mlp(sdf_mlp, inp)[..., 0]
-    dist = jnp.linalg.norm(x - 0.5, axis=-1)
-    # Fit raw ~ a * dist + b, then rescale so raw' = dist - radius - sdf_bias.
-    a, b = jnp.polyfit(dist, raw, 1)
-    a = jnp.where(jnp.abs(a) < 1e-6, 1.0, a)
+    h = jnp.concatenate([x, enc], axis=-1)
     layers = [dict(l) for l in sdf_mlp["layers"]]
+    for layer in layers[:-1]:
+        h = jax.nn.relu(jnp.dot(h, layer["w"]) + layer["b"])
+    target = (
+        jnp.linalg.norm(x - 0.5, axis=-1)
+        - config.init_radius
+        - config.sdf_bias
+    )
+    design = jnp.concatenate([h, jnp.ones((h.shape[0], 1), h.dtype)], axis=-1)
+    gram = design.T @ design + 1e-4 * jnp.eye(design.shape[1], dtype=h.dtype)
+    beta = jnp.linalg.solve(gram, design.T @ target)
     last = dict(layers[-1])
-    target_b = -(config.init_radius + config.sdf_bias)
-    last["w"] = last["w"].at[:, 0].multiply(1.0 / a)
-    last["b"] = last["b"].at[0].set(target_b - b / a)
+    last["w"] = last["w"].at[:, 0].set(beta[:-1])
+    last["b"] = last["b"].at[0].set(beta[-1])
     layers[-1] = last
     return {"layers": layers}
 
