@@ -1,0 +1,233 @@
+"""Dataset layer: NeRF/NA-format `transforms.json` loading, TPU-resident images.
+
+Host-side (numpy) re-implementation of the reference data loader
+(reference: src/nerf_loader.cu:197-760, include/neural-graphics-primitives/
+nerf_loader.h:68-172), with the same behavior contract:
+
+  * ``from_na`` NeuS2 format: per-frame ``intrinsic_matrix`` (fx, fy, cx, cy
+    in pixels) and ``transform_matrix`` (camera-to-world), 4-channel RGBA
+    images where alpha is the foreground mask (nerf_loader.cu:675-680);
+  * standard instant-ngp format: ``camera_angle_x`` / ``fl_x`` etc.;
+  * coordinate conversion ``nerf_matrix_to_ngp`` (nerf_loader.h:112-133):
+    flip Y/Z columns, scale+offset the translation, and for non-na data cycle
+    the axes xyz<-yzx; na data flips Y/Z twice (i.e. not at all) so only
+    scale/offset applies;
+  * default ``scale`` = 0.33 (NERF_SCALE, nerf_loader.h:31), ``offset`` =
+    (0.5, 0.5, 0.5) — DTU/NA scenes override via json;
+  * texels are stored premultiplied-alpha *linear* RGBA
+    (common_device.cuh:529-542: rgba = srgb_to_linear(rgb) * alpha).
+
+A dynamic scene is a directory of per-frame ``*.json`` sorted by basename
+(reference src/testbed_nerf.cu:2967-2994); see ``list_frame_jsons``.
+
+Device residency: the whole dataset (stacked images + cameras) is moved to
+device once; per-step ray/pixel sampling then happens entirely on device
+inside the jitted train step (no host<->device traffic in the hot loop) —
+replacing the reference's GPU-resident `pixelmemory`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from neus2_tpu.engine.rays import Cameras
+
+# sRGB <-> linear on host (numpy mirror of ops/losses.py jnp versions).
+
+
+def _srgb_to_linear_np(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+@dataclasses.dataclass
+class NerfDataset:
+    """Host-side dataset. Arrays are numpy; `to_device` yields jnp copies."""
+
+    images: np.ndarray  # (N, H, W, 4) float32, premultiplied-alpha linear RGBA
+    poses: np.ndarray  # (N, 3, 4) camera-to-world, ngp coordinates
+    focal: np.ndarray  # (N, 2) fx, fy pixels
+    principal: np.ndarray  # (N, 2) cx, cy relative to resolution
+    scale: float = 0.33
+    offset: tuple[float, float, float] = (0.5, 0.5, 0.5)
+    aabb_scale: int = 1
+    from_na: bool = False
+    paths: tuple[str, ...] = ()
+
+    @property
+    def n_images(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def resolution(self) -> tuple[int, int]:
+        return self.images.shape[2], self.images.shape[1]  # (W, H)
+
+    def cameras(self) -> Cameras:
+        import jax.numpy as jnp
+
+        return Cameras(
+            poses=jnp.asarray(self.poses, jnp.float32),
+            focal=jnp.asarray(self.focal, jnp.float32),
+            principal=jnp.asarray(self.principal, jnp.float32),
+            resolution=self.resolution,
+        )
+
+    def images_device(self, dtype=None):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.images, dtype or jnp.float32)
+
+
+def nerf_matrix_to_ngp(
+    mat: np.ndarray, scale: float, offset: np.ndarray, from_na: bool
+) -> np.ndarray:
+    """Coordinate conversion (reference nerf_loader.h:112-133)."""
+    result = np.array(mat[:3, :4], np.float32)
+    result[:, 1] *= -1
+    result[:, 2] *= -1
+    result[:, 3] = result[:, 3] * scale + offset
+    if from_na:
+        # flip back: net effect is only the scale/offset on translation
+        result[:, 1] *= -1
+        result[:, 2] *= -1
+    else:
+        result = result[[1, 2, 0], :]
+    return result
+
+
+def ngp_matrix_to_nerf(
+    mat: np.ndarray, scale: float, offset: np.ndarray, from_na: bool
+) -> np.ndarray:
+    """Inverse conversion (reference nerf_loader.h:135-155)."""
+    result = np.array(mat[:3, :4], np.float32)
+    if from_na:
+        result[:, 1] *= -1
+        result[:, 2] *= -1
+    else:
+        result = result[[2, 0, 1], :]
+    result[:, 1] *= -1
+    result[:, 2] *= -1
+    result[:, 3] = (result[:, 3] - offset) / scale
+    return result
+
+
+def _load_image_rgba(path: Path) -> np.ndarray:
+    """Load an image file -> (H, W, 4) float32 premultiplied-linear RGBA."""
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(str(path)))
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+        srgb = True
+    elif img.dtype == np.uint16:
+        img = img.astype(np.float32) / 65535.0
+        srgb = True
+    else:  # float EXR/HDR data is already linear
+        img = img.astype(np.float32)
+        srgb = False
+    if img.shape[-1] == 3:
+        img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
+    rgb, alpha = img[..., :3], img[..., 3:4]
+    if srgb:
+        rgb = _srgb_to_linear_np(rgb)
+    return np.concatenate([rgb * alpha, alpha], axis=-1).astype(np.float32)
+
+
+def _focal_from_json(
+    frame: dict, meta: dict, w: int, h: int
+) -> tuple[float, float, float, float]:
+    """(fx, fy, cx, cy) with cx/cy relative (reference nerf_loader.cu:651-694)."""
+
+    def fov_to_focal(res: float, deg: float) -> float:
+        return 0.5 * res / np.tan(0.5 * deg * np.pi / 180.0)
+
+    def read_fl(res: float, axis: str) -> float:
+        if f"{axis}_fov" in frame:
+            return fov_to_focal(res, float(frame[f"{axis}_fov"]))
+        if f"fl_{axis}" in meta:
+            return float(meta[f"fl_{axis}"])
+        if f"camera_angle_{axis}" in meta:
+            return fov_to_focal(res, float(meta[f"camera_angle_{axis}"]) * 180.0 / np.pi)
+        return 0.0
+
+    cx = float(meta.get("cx", 0.5 * w)) / w
+    cy = float(meta.get("cy", 0.5 * h)) / h
+    fx = read_fl(w, "x")
+    fy = read_fl(h, "y")
+    if fx != 0.0:
+        return fx, (fy if fy != 0.0 else fx), cx, cy
+    if fy != 0.0:
+        return fy, fy, cx, cy
+    if "intrinsic_matrix" in frame:
+        k = np.asarray(frame["intrinsic_matrix"], np.float32)
+        return float(k[0][0]), float(k[1][1]), float(k[0][2]) / w, float(k[1][2]) / h
+    raise ValueError("couldn't read fov: no fl_x/camera_angle_x/intrinsic_matrix")
+
+
+def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) -> NerfDataset:
+    """Load one transforms.json (static scene or one dynamic frame)."""
+    json_path = Path(json_path)
+    with open(json_path) as f:
+        meta = json.load(f)
+    basepath = json_path.parent
+
+    from_na = "from_na" in meta
+    scale = float(meta.get("scale", 0.33))
+    offset = np.asarray(meta.get("offset", (0.5, 0.5, 0.5)), np.float32)
+    if np.ndim(offset) == 0:
+        offset = np.full((3,), float(offset), np.float32)
+    aabb_scale = int(meta.get("aabb_scale", 1))
+
+    frames = meta["frames"]
+    if n_frames_cap is not None:
+        frames = frames[:n_frames_cap]
+    images, poses, focals, principals, paths = [], [], [], [], []
+    for frame in frames:
+        fp = frame["file_path"]
+        p = basepath / fp
+        if not p.exists() and not p.suffix:
+            p = p.with_suffix(".png")
+        images.append(_load_image_rgba(p))
+        mat = np.asarray(
+            frame.get("transform_matrix_start", frame.get("transform_matrix")),
+            np.float32,
+        )
+        poses.append(nerf_matrix_to_ngp(mat, scale, offset, from_na))
+        w, h = images[-1].shape[1], images[-1].shape[0]
+        fx, fy, cx, cy = _focal_from_json(frame, meta, w, h)
+        focals.append((fx, fy))
+        principals.append((cx, cy))
+        paths.append(str(p))
+
+    shapes = {im.shape for im in images}
+    if len(shapes) != 1:
+        raise ValueError(f"mixed image resolutions not supported yet: {shapes}")
+    return NerfDataset(
+        images=np.stack(images),
+        poses=np.stack(poses),
+        focal=np.asarray(focals, np.float32),
+        principal=np.asarray(principals, np.float32),
+        scale=scale,
+        offset=tuple(float(o) for o in offset),
+        aabb_scale=aabb_scale,
+        from_na=from_na,
+        paths=tuple(paths),
+    )
+
+
+def list_frame_jsons(scene_path: str | os.PathLike) -> list[Path]:
+    """Dynamic scene = dir of per-frame jsons sorted by basename
+    (reference src/testbed_nerf.cu:2967-2994); a single json = static."""
+    p = Path(scene_path)
+    if p.is_dir():
+        jsons = sorted(p.glob("*.json"), key=lambda q: q.name)
+        if not jsons:
+            raise FileNotFoundError(f"no .json files in {p}")
+        return jsons
+    return [p]

@@ -1,0 +1,115 @@
+"""Synthetic multi-view scenes (analytic sphere) for tests and benchmarks.
+
+The reference has no test suite (SURVEY.md §4); this module is part of the
+test pyramid we add instead: a closed-form Lambertian sphere scene whose
+images are generated through the *same* camera model used for training
+(`neus2_tpu.engine.rays.pixel_to_ray`), so end-to-end training against it
+validates the full ray->march->field->composite->loss->grad path with a known
+ground-truth SDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from neus2_tpu.data.dataset import NerfDataset
+
+SPHERE_CENTER = np.array([0.5, 0.5, 0.5], np.float32)
+SPHERE_RADIUS = 0.25
+
+
+def _look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """Camera-to-world (3, 4) with +z forward (ngp pixel_to_ray convention)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    mat = np.stack([right, down, fwd, eye], axis=1)
+    return mat.astype(np.float32)
+
+
+def ray_sphere(
+    o: np.ndarray, d: np.ndarray, center: np.ndarray, radius: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hit mask, t of first intersection) for unit-norm directions."""
+    oc = o - center
+    b = np.sum(oc * d, axis=-1)
+    c = np.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - c
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    hit &= t > 0
+    return hit, t
+
+
+def shade_sphere(normal: np.ndarray) -> np.ndarray:
+    """Deterministic view-independent Lambertian-ish shading in linear RGB."""
+    light = np.array([0.4, 0.5, 0.77], np.float32)
+    light = light / np.linalg.norm(light)
+    lam = np.clip(np.sum(normal * light, axis=-1, keepdims=True), 0.0, 1.0)
+    base = 0.5 + 0.5 * normal  # normal-coded albedo makes views informative
+    return np.clip(base * (0.25 + 0.75 * lam), 0.0, 1.0)
+
+
+def make_sphere_dataset(
+    n_views: int = 16,
+    resolution: int = 64,
+    cam_distance: float = 1.2,
+    fov_deg: float = 45.0,
+    seed: int = 0,
+) -> NerfDataset:
+    """Cameras on a sphere looking at the center; images premult-linear RGBA."""
+    rng = np.random.default_rng(seed)
+    w = h = resolution
+    focal = 0.5 * w / np.tan(0.5 * np.deg2rad(fov_deg))
+
+    poses, images = [], []
+    for k in range(n_views):
+        # Fibonacci-ish sphere of viewpoints, jittered.
+        phi = 2.0 * np.pi * ((k * 0.618034) % 1.0)
+        cos_t = 1.0 - 2.0 * (k + 0.5) / n_views
+        cos_t = np.clip(cos_t * 0.8, -0.75, 0.75)  # avoid poles
+        sin_t = np.sqrt(1.0 - cos_t * cos_t)
+        eye = SPHERE_CENTER + cam_distance * np.array(
+            [sin_t * np.cos(phi), sin_t * np.sin(phi), cos_t], np.float32
+        )
+        pose = _look_at(eye, SPHERE_CENTER + rng.normal(0, 1e-3, 3).astype(np.float32),
+                        np.array([0.0, 0.0, 1.0], np.float32))
+        poses.append(pose)
+
+        # Render analytically through the training camera model.
+        u = (np.arange(w) + 0.5) / w
+        v = (np.arange(h) + 0.5) / h
+        uu, vv = np.meshgrid(u, v)
+        xy = np.stack([(uu - 0.5) * w / focal, (vv - 0.5) * h / focal], axis=-1)
+        dir_cam = np.concatenate([xy, np.ones_like(xy[..., :1])], axis=-1)
+        dirs = dir_cam @ pose[:, :3].T
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        o = np.broadcast_to(pose[:, 3], dirs.shape)
+        hit, t = ray_sphere(o, dirs, SPHERE_CENTER, SPHERE_RADIUS)
+        p = o + t[..., None] * dirs
+        normal = (p - SPHERE_CENTER) / SPHERE_RADIUS
+        rgb = shade_sphere(normal)
+        alpha = hit.astype(np.float32)[..., None]
+        images.append(
+            np.concatenate([rgb * alpha, alpha], axis=-1).astype(np.float32)
+        )
+
+    n = n_views
+    return NerfDataset(
+        images=np.stack(images),
+        poses=np.stack(poses),
+        focal=np.full((n, 2), focal, np.float32),
+        principal=np.full((n, 2), 0.5, np.float32),
+        scale=1.0,
+        offset=(0.5, 0.5, 0.5),
+        aabb_scale=1,
+        from_na=True,
+        paths=(),
+    )
+
+
+def sphere_sdf(x: np.ndarray) -> np.ndarray:
+    """Ground-truth SDF of the synthetic scene (for mesh/eval tests)."""
+    return np.linalg.norm(x - SPHERE_CENTER, axis=-1) - SPHERE_RADIUS

@@ -1,21 +1,25 @@
-"""Fixed-shape masked ray marching.
+"""Fixed-shape occupancy-guided ray marching (inverse-CDF over occupied length).
 
 TPU-native replacement for the reference's two-pass atomics-based sample
 generation (reference: src/testbed_nerf.cu:1263-1449
 generate_training_samples_nerf_with_global_movement) and the render-time
-compaction loop (2479-2595).  Instead of data-dependent sample counts:
+alive-ray compaction loop (2479-2595).  The reference marches each ray at a
+fine fixed step (STEPSIZE = sqrt(3)/1024) skipping unoccupied voxels, and
+allocates a *variable* number of samples per ray via atomics.  Neither maps to
+TPU (dynamic shapes, global atomics).  Instead:
 
-  1. generate ``n_candidates`` candidate positions per ray by marching from a
-     jittered start with the reference's cone-angle step rule
-     (calc_dt: dt = clamp(t*cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE));
-  2. mask candidates by AABB membership and occupancy-grid lookups;
-  3. stably compact the first ``budget`` valid candidates per ray into a fixed
-     (R, budget) buffer (argsort on the validity key — the TPU analog of the
-     reference's atomic sample-range allocation).
+  1. Probe a fixed grid of ``n_candidates`` coarse intervals along the ray's
+     AABB chord (cone-angle stepping for large scenes, reference calc_dt) and
+     mask each by the occupancy bitfield — gathers only, no MLP;
+  2. Compute the cumulative *occupied length* along the ray and draw exactly
+     ``budget`` stratified samples from its inverse CDF.
 
-Everything is jit-compatible with static shapes; empty space costs a gather
-instead of an MLP evaluation, which is the same asymptotic win the occupancy
-grid gives the reference.
+Every ray that intersects occupied space gets exactly ``budget`` samples
+(100% MXU utilization of the field evaluation); the effective step size
+``dt = occupied_length / budget`` adapts per ray — coarse while the occupancy
+grid is still permissive, *finer than the reference's* STEPSIZE once the grid
+has converged to a thin shell around the surface.  Everything is
+jit-compatible with static shapes and zero host syncs.
 """
 
 from __future__ import annotations
@@ -41,31 +45,37 @@ def cone_angle_for_scene(aabb_scale: float, constant: float = 1.0 / 256.0) -> fl
 
 
 class MarchedSamples(NamedTuple):
-    t: jnp.ndarray  # (R, K) sample distance along ray
-    dt: jnp.ndarray  # (R, K) step size at each sample
-    positions: jnp.ndarray  # (R, K, 3) world-space positions
-    mask: jnp.ndarray  # (R, K) validity
+    t: jnp.ndarray  # (R, B) sample distance along ray
+    dt: jnp.ndarray  # (R, B) step size at each sample
+    positions: jnp.ndarray  # (R, B, 3) world-space positions
+    mask: jnp.ndarray  # (R, B) validity
     n_valid: jnp.ndarray  # (R,) number of valid samples per ray
 
 
-def candidate_ts(
-    start: jnp.ndarray,  # (R,)
+def coarse_intervals(
+    tmin: jnp.ndarray,  # (R,)
+    tmax: jnp.ndarray,  # (R,)
     n_candidates: int,
     cone_angle: float,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """March distances (R, S) and the dt at each (R, S)."""
+    """Candidate interval starts (R, C) and lengths (R, C) spanning the chord.
+
+    With cone_angle == 0 the intervals are uniform over [tmin, tmax] (their
+    length adapts to the chord, never below MIN_CONE_STEPSIZE); with a cone
+    angle they follow the reference's exponential stepping from tmin.
+    """
     if cone_angle == 0.0:
-        # Constant dt: closed form, no scan.
-        steps = jnp.arange(n_candidates, dtype=jnp.float32)
-        t = start[:, None] + steps[None, :] * MIN_CONE_STEPSIZE
-        dt = jnp.full_like(t, MIN_CONE_STEPSIZE)
-        return t, dt
+        span = jnp.maximum(tmax - tmin, 0.0)
+        dt = jnp.maximum(span / n_candidates, MIN_CONE_STEPSIZE)[:, None]
+        steps = jnp.arange(n_candidates, dtype=jnp.float32)[None, :]
+        t0 = tmin[:, None] + steps * dt
+        return t0, jnp.broadcast_to(dt, t0.shape)
 
     def body(t, _):
         dt = calc_dt(t, cone_angle)
         return t + dt, (t, dt)
 
-    _, (ts, dts) = jax.lax.scan(body, start, None, length=n_candidates)
+    _, (ts, dts) = jax.lax.scan(body, tmin, None, length=n_candidates)
     return ts.T, dts.T
 
 
@@ -81,34 +91,41 @@ def march_rays(
     near: float = 0.0,
     jitter: bool = True,
 ) -> MarchedSamples:
-    """Generate up to ``budget`` occupancy-masked samples per ray."""
+    """Draw exactly ``budget`` samples per ray from the occupied-length CDF."""
+    R = origins.shape[0]
     tmin, tmax = aabb.ray_intersect(origins, directions)
     tmin = jnp.maximum(tmin, near)
     hit = tmin < tmax
-    if jitter:
-        u = jax.random.uniform(key, tmin.shape)
-    else:
-        u = jnp.full(tmin.shape, 0.5)
-    start = tmin + calc_dt(tmin, cone_angle) * u
 
-    t, dt = candidate_ts(start, n_candidates, cone_angle)  # (R, S)
-    pos = origins[:, None, :] + t[..., None] * directions[:, None, :]
-    valid = (t < tmax[:, None]) & hit[:, None]
+    t0, dt_c = coarse_intervals(tmin, tmax, n_candidates, cone_angle)  # (R, C)
+    mid = t0 + 0.5 * dt_c
+    pos_c = origins[:, None, :] + mid[..., None] * directions[:, None, :]
+    valid_c = (mid < tmax[:, None]) & hit[:, None]
     if occupancy is not None:
-        valid &= occupancy_at(occupancy, pos)
+        valid_c &= occupancy_at(occupancy, pos_c)
 
-    # Stable compaction: order candidates by (invalid, index) and keep the
-    # first `budget`. jnp.argsort(stable) preserves front-to-back order.
-    order = jnp.argsort(jnp.where(valid, 0, 1), axis=-1, stable=True)
-    sel = order[:, :budget]
-    t_sel = jnp.take_along_axis(t, sel, axis=-1)
-    dt_sel = jnp.take_along_axis(dt, sel, axis=-1)
-    mask_sel = jnp.take_along_axis(valid, sel, axis=-1)
-    pos_sel = origins[:, None, :] + t_sel[..., None] * directions[:, None, :]
-    return MarchedSamples(
-        t=t_sel,
-        dt=dt_sel,
-        positions=pos_sel,
-        mask=mask_sel,
-        n_valid=jnp.sum(valid, axis=-1).astype(jnp.int32),
-    )
+    seg = jnp.where(valid_c, dt_c, 0.0)
+    cum = jnp.cumsum(seg, axis=-1)  # (R, C) occupied length up to candidate i
+    total = cum[:, -1]  # (R,)
+
+    # Stratified inverse-CDF draws over the occupied length.
+    if jitter:
+        xi = jax.random.uniform(key, (R, budget))
+    else:
+        xi = jnp.full((R, budget), 0.5)
+    frac = (jnp.arange(budget, dtype=jnp.float32)[None, :] + xi) / budget
+    u = frac * total[:, None]  # (R, B), nondecreasing per ray
+
+    idx = jax.vmap(lambda c, v: jnp.searchsorted(c, v, side="right"))(cum, u)
+    idx = jnp.minimum(idx, n_candidates - 1)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
+    cum_before = take(cum) - take(seg)
+    # Position inside the chosen occupied interval, exact inverse CDF.
+    t = take(t0) + jnp.clip(u - cum_before, 0.0, None)
+    dt = jnp.maximum(total[:, None] / budget, 1e-10)
+    dt = jnp.broadcast_to(dt, t.shape)
+    mask = jnp.broadcast_to(((total > 0.0) & hit)[:, None], t.shape)
+
+    pos = origins[:, None, :] + t[..., None] * directions[:, None, :]
+    n_valid = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    return MarchedSamples(t=t, dt=dt, positions=pos, mask=mask, n_valid=n_valid)

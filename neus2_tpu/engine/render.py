@@ -1,0 +1,169 @@
+"""Inference rendering: fixed-shape masked marching, chunked over pixels.
+
+TPU-native replacement for the reference's alive-ray compaction render loop
+(reference: src/testbed_nerf.cu:2397-2595 NerfTracer::init_rays_from_camera /
+trace, 936-1045 composite_kernel_nerf): instead of host-synced compaction
+rounds (a device->host sync per round, 2526-2528), every ray gets a fixed
+occupancy-compacted sample budget and one batched field evaluation; the
+composite uses the identical SDF->alpha math.  ``lax.map`` over fixed-size
+pixel chunks keeps peak memory bounded and compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from neus2_tpu.engine import occupancy as occ
+from neus2_tpu.engine.march import march_rays
+from neus2_tpu.engine.rays import Cameras, pixel_to_ray
+from neus2_tpu.models import delta as delta_mod
+from neus2_tpu.models.field import FieldConfig, field_forward
+from neus2_tpu.ops.losses import linear_to_srgb
+from neus2_tpu.ops.neus_math import composite_rays, neus_alpha
+from neus2_tpu.ops.warp import AABB, warp_direction, warp_position
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    field: FieldConfig = FieldConfig()
+    samples_per_ray: int = 128
+    n_candidates: int = 384
+    aabb_scale: int = 1
+    near: float = 0.0
+    cone_angle: float = 0.0
+    min_transmittance: float = 1e-4  # eval protocol (run.py:271)
+    chunk: int = 1 << 14
+    spp: int = 1
+
+
+def _render_chunk(
+    params,
+    acc,
+    occupancy: occ.OccupancyGrid | None,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    key: jax.Array,
+    config: RenderConfig,
+    aabb: AABB,
+    jitter: bool,
+):
+    origins, dirs = delta_mod.apply_accumulated_to_rays(acc, origins, dirs)
+    samples = march_rays(
+        key,
+        origins,
+        dirs,
+        aabb,
+        occupancy,
+        config.n_candidates,
+        config.samples_per_ray,
+        cone_angle=config.cone_angle,
+        near=config.near,
+        jitter=jitter,
+    )
+    R, S = origins.shape[0], config.samples_per_ray
+    pos = origins[:, None, :] + samples.t[..., None] * dirs[:, None, :]
+    pos_w = warp_position(pos, aabb)
+    dir_w = warp_direction(dirs)[:, None, :].repeat(S, 1)
+    flat = lambda a: a.reshape((R * S,) + a.shape[2:])
+    out = field_forward(params, flat(pos_w), flat(dir_w), config.field)
+    rgb_s = out.rgb.reshape(R, S, 3)
+    sdf_s = out.sdf.reshape(R, S)
+    normal_s = out.normal.reshape(R, S, 3)
+    alpha = neus_alpha(
+        sdf_s, normal_s, dirs[:, None, :], samples.dt, out.inv_s, 1.0
+    )
+    comp = composite_rays(
+        rgb_s, alpha, samples.t, samples.mask, config.min_transmittance
+    )
+    return comp.rgb, comp.depth, comp.weight_sum
+
+
+@partial(jax.jit, static_argnames=("config", "jitter"))
+def render_rays(
+    params,
+    acc,
+    occupancy,
+    origins: jnp.ndarray,  # (N, 3) — N must be a multiple of config.chunk
+    dirs: jnp.ndarray,
+    key: jax.Array,
+    config: RenderConfig,
+    jitter: bool = False,
+):
+    """Chunked render -> (rgb (N,3) sRGB-space pre-bg, depth (N,), opacity (N,))."""
+    aabb = AABB(
+        jnp.full((3,), 0.5 - 0.5 * config.aabb_scale, jnp.float32),
+        jnp.full((3,), 0.5 + 0.5 * config.aabb_scale, jnp.float32),
+    )
+    n = origins.shape[0]
+    c = min(config.chunk, n)
+    n_chunks = -(-n // c)
+    pad = n_chunks * c - n
+    o = jnp.pad(origins, ((0, pad), (0, 0))).reshape(n_chunks, c, 3)
+    d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0).reshape(
+        n_chunks, c, 3
+    )
+    keys = jax.random.split(key, n_chunks)
+
+    def body(args):
+        oo, dd, kk = args
+        return _render_chunk(
+            params, acc, occupancy, oo, dd, kk, config, aabb, jitter
+        )
+
+    rgb, depth, opacity = jax.lax.map(body, (o, d, keys))
+    unflat = lambda a: a.reshape((n_chunks * c,) + a.shape[2:])[:n]
+    return unflat(rgb), unflat(depth), unflat(opacity)
+
+
+def render_image(
+    params,
+    acc,
+    occupancy,
+    cameras: Cameras,
+    pose: jnp.ndarray,  # (3, 4) camera-to-world
+    focal: jnp.ndarray,  # (2,)
+    principal: jnp.ndarray,  # (2,)
+    key: jax.Array,
+    config: RenderConfig,
+    background: jnp.ndarray | float = 0.0,
+    spp: int | None = None,
+):
+    """Render a full image -> (H, W, 3) sRGB in [0,1], (H, W) depth, (H, W) alpha.
+
+    Eval protocol (reference scripts/run.py:264-271): black background,
+    spp=8 (jittered sample offsets averaged), min transmittance 1e-4; network
+    rgb output already lives in sRGB space.
+    """
+    w, h = cameras.resolution
+    one_cam = Cameras(
+        poses=pose[None],
+        focal=jnp.asarray(focal)[None],
+        principal=jnp.asarray(principal)[None],
+        resolution=(w, h),
+    )
+    u = (jnp.arange(w) + 0.5) / w
+    v = (jnp.arange(h) + 0.5) / h
+    uu, vv = jnp.meshgrid(u, v)
+    uv = jnp.stack([uu.ravel(), vv.ravel()], axis=-1)
+    idx = jnp.zeros((uv.shape[0],), jnp.int32)
+    origins, dirs = pixel_to_ray(one_cam, idx, uv)
+
+    spp = spp or config.spp
+    bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (3,))
+    rgb_acc = jnp.zeros((w * h, 3))
+    depth_acc = jnp.zeros((w * h,))
+    op_acc = jnp.zeros((w * h,))
+    for s in range(spp):
+        k = jax.random.fold_in(key, s)
+        rgb, depth, opacity = render_rays(
+            params, acc, occupancy, origins, dirs, k, config, jitter=spp > 1
+        )
+        rgb_acc += rgb + (1.0 - opacity)[:, None] * linear_to_srgb(bg)
+        depth_acc += depth
+        op_acc += opacity
+    rgb_img = jnp.clip(rgb_acc / spp, 0.0, 1.0).reshape(h, w, 3)
+    return rgb_img, (depth_acc / spp).reshape(h, w), (op_acc / spp).reshape(h, w)

@@ -1,0 +1,371 @@
+"""The jitted NeuS2 training step and training state.
+
+TPU-native restatement of the reference's training hot loop
+(reference: src/testbed_nerf.cu:3440 train_nerf, 3723 train_nerf_step, and the
+fused loss kernel at 1475-1998).  Design (SURVEY.md §7.1):
+
+  * ONE pure jitted function per phase = sample rays -> march -> field ->
+    SDF->alpha composite -> losses -> grads -> optimizer -> EMA.  No
+    host<->device sync inside the loop (the reference syncs counters every
+    step — its main throughput tax).
+  * Fixed shapes: ``n_rays`` rays x ``samples_per_ray`` budget replaces the
+    reference's atomics-compacted variable-length batch (2^18 samples with
+    adaptively-tuned ray count, testbed.h:878).
+  * All gradients (incl. second-order through the SDF normal for the eikonal
+    term) come from jax.grad of this one function — replacing the
+    hand-derived dL/d(output) kernel (testbed_nerf.cu:1827-1947) and the
+    explicit double-backward orchestration (nerf_network.h:476-600).
+
+Loss normalization matches the reference contract:
+  * rgb: mean over rays of the channel-mean Huber/5 (loss_scale/n_rays,
+    testbed_nerf.cu:1766, 1915);
+  * eikonal: ek_weight * mean over all compacted samples ((||g||-1)^2) —
+    the per-sample gradient is scaled 1/N_samples in nerf_network.h:490-496;
+  * mask: BCE on clamped weight_sum per ray (testbed_nerf.cu:1700-1731).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neus2_tpu.constants import TRAIN_TRANSMITTANCE_EPS
+from neus2_tpu.engine import occupancy as occ
+from neus2_tpu.engine.march import cone_angle_for_scene, march_rays
+from neus2_tpu.engine.rays import Cameras, sample_training_rays
+from neus2_tpu.models import delta as delta_mod
+from neus2_tpu.models.field import FieldConfig, field_forward, init_field, sdf_fn
+from neus2_tpu.ops import losses as L
+from neus2_tpu.ops.neus_math import (
+    composite_rays,
+    cos_anneal_ratio,
+    neus_alpha,
+    sdf_to_logistic_density,
+    variance_to_inv_s,
+)
+from neus2_tpu.ops.warp import AABB, scene_aabb, warp_direction, warp_position
+from neus2_tpu.utils.optim import OptimConfig, ema_update, make_optimizer
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training configuration (hashable -> safe jit closure)."""
+
+    field: FieldConfig = FieldConfig()
+    optim: OptimConfig = OptimConfig()
+    # Batch geometry: n_rays * samples_per_ray = total sample budget
+    # (reference: 2^18 samples, rays auto-tuned from 4096; we fix both).
+    n_rays: int = 4096
+    samples_per_ray: int = 64
+    n_candidates: int = 192  # ray-march candidates before compaction
+    aabb_scale: int = 1
+    near: float = 0.0
+    rgb_loss_type: str = "Huber"
+    ek_loss_weight: float = 0.1
+    mask_loss_weight: float = 0.0
+    anneal_end: int = 0  # base.json m_anneal_end = 0 (no annealing)
+    random_bg: bool = True  # reference m_nerf.training.random_bg_color = true
+    ema_decay: float = 0.95
+    # Delta (global movement) optimizer (base.json globalmove: Adam 1e-4).
+    delta_lr: float = 1e-4
+    # Occupancy grid
+    occ_n_probe: int = 1 << 17
+    occ_cascades: int = 1
+    # Progressive hashgrid unlock offset (reset per dynamic frame).
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def cone_angle(self) -> float:
+        return cone_angle_for_scene(self.aabb_scale)
+
+    def aabb(self) -> AABB:
+        return scene_aabb(self.aabb_scale)
+
+
+class TrainState(NamedTuple):
+    params: Params  # field params (hashgrid, sdf_mlp, rgb_mlp, variance)
+    ema_params: Params  # EMA copy used for inference (tcnn Ema optimizer)
+    opt_state: Any
+    delta: Params  # per-frame rigid transform (rotation6d, transition)
+    delta_opt_state: Any
+    acc: Params  # accumulated rigid transform {rotation (3,3), transition}
+    occupancy: occ.OccupancyGrid
+    step: jnp.ndarray  # () int32 global step
+    frame_step: jnp.ndarray  # () int32 step within current frame
+    key: jax.Array
+
+
+class StepAux(NamedTuple):
+    loss: jnp.ndarray
+    rgb_loss: jnp.ndarray
+    ek_loss: jnp.ndarray
+    mask_loss: jnp.ndarray
+    n_valid_samples: jnp.ndarray
+    psnr_proxy: jnp.ndarray
+
+
+def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
+    k_field, k_loop = jax.random.split(key)
+    params = init_field(k_field, config.field)
+    tx = make_optimizer(config.optim)
+    delta = delta_mod.init_delta()
+    delta_tx = make_delta_optimizer(config)
+    return TrainState(
+        params=params,
+        # Distinct buffers: params/ema_params must not alias (donation).
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+        delta=delta,
+        delta_opt_state=delta_tx.init(delta),
+        acc=delta_mod.init_accumulated(),
+        occupancy=occ.init_occupancy(config.occ_cascades),
+        step=jnp.zeros((), jnp.int32),
+        frame_step=jnp.zeros((), jnp.int32),
+        key=k_loop,
+    )
+
+
+def make_delta_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(config.delta_lr, b1=0.9, b2=0.99, eps=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# The loss function (pure; differentiated by jax.grad)
+# ---------------------------------------------------------------------------
+
+
+def _forward_loss(
+    params: Params,
+    delta: Params,
+    state: TrainState,
+    images: jnp.ndarray,
+    cameras: Cameras,
+    key: jax.Array,
+    config: TrainConfig,
+    use_delta: bool,
+) -> tuple[jnp.ndarray, StepAux]:
+    k_rays, k_march, k_bg, k_drop = jax.random.split(key, 4)
+    aabb = config.aabb()
+
+    origins, dirs, rgba, _ = sample_training_rays(
+        k_rays, cameras, images, config.n_rays
+    )
+    # Accumulated global transform on rays (testbed_nerf.cu:1380-1387).
+    origins, dirs = delta_mod.apply_accumulated_to_rays(state.acc, origins, dirs)
+
+    # Occupancy-masked fixed-shape marching; no gradients flow through
+    # sample *placement* (the reference likewise treats t values as data).
+    samples = march_rays(
+        k_march,
+        origins,
+        dirs,
+        aabb,
+        state.occupancy,
+        config.n_candidates,
+        config.samples_per_ray,
+        cone_angle=config.cone_angle,
+        near=config.near,
+    )
+    t = jax.lax.stop_gradient(samples.t)
+    dt = jax.lax.stop_gradient(samples.dt)
+    mask = samples.mask
+
+    pos = origins[:, None, :] + t[..., None] * dirs[:, None, :]
+    pos_w = warp_position(pos, aabb)
+    dir_w = warp_direction(dirs)[:, None, :].repeat(config.samples_per_ray, 1)
+    if use_delta:
+        # Per-frame delta transform on warped samples (transform_network.h:49).
+        pos_w, dir_w = delta_mod.apply_delta(delta, pos_w, dir_w)
+
+    R, S = config.n_rays, config.samples_per_ray
+    flat = lambda a: a.reshape((R * S,) + a.shape[2:])
+    unlock = config.field.grid.valid_level(state.frame_step)
+    out = field_forward(
+        params, flat(pos_w), flat(dir_w), config.field, valid_level=unlock
+    )
+    rgb_s = out.rgb.reshape(R, S, 3)
+    sdf_s = out.sdf.reshape(R, S)
+    normal_s = out.normal.reshape(R, S, 3)
+
+    anneal = cos_anneal_ratio(state.step, config.anneal_end)
+    # Alpha consumes the *unwarped* direction and real dt (testbed_nerf.cu:1590+).
+    alpha = neus_alpha(sdf_s, normal_s, dirs[:, None, :], dt, out.inv_s, anneal)
+    comp = composite_rays(rgb_s, alpha, t, mask, TRAIN_TRANSMITTANCE_EPS)
+
+    if config.random_bg:
+        bg = jax.random.uniform(k_bg, (config.n_rays, 3))
+    else:
+        bg = jnp.zeros((config.n_rays, 3))
+    # Target in sRGB space from premultiplied-linear texels
+    # (testbed_nerf.cu:1669-1677); prediction composites bg behind.
+    a = rgba[:, 3:4]
+    safe_a = jnp.where(a > 0, a, 1.0)
+    target = jnp.where(
+        a > 0, L.linear_to_srgb(rgba[:, :3] / safe_a) * a + (1.0 - a) * bg, bg
+    )
+    pred = comp.rgb + comp.trans[:, None] * bg
+
+    # 10% random drop of rays on black/masked pixels (testbed_nerf.cu:1310-12).
+    drop = (rgba[:, 0] <= 0.0) & (jax.random.uniform(k_drop, (R,)) >= 0.9)
+    ray_w = jnp.where(drop, 0.0, 1.0)
+    n_live = jnp.maximum(jnp.sum(ray_w), 1.0)
+
+    rgb_l = L.rgb_loss(target, pred, config.rgb_loss_type).mean(-1)
+    rgb_loss = jnp.sum(rgb_l * ray_w) / n_live
+
+    eff = comp.sample_mask & (ray_w[:, None] > 0)
+    norm = jnp.sqrt(jnp.sum(normal_s * normal_s, axis=-1) + 1e-6)
+    ek_res = jnp.where(eff, (norm - 1.0) ** 2, 0.0)
+    n_samp = jnp.maximum(jnp.sum(eff), 1.0)
+    ek_loss = jnp.sum(ek_res) / n_samp
+
+    mask_gt = (rgba[:, 3] > 0.9999).astype(jnp.float32)
+    mask_l = L.mask_bce_loss(comp.weight_sum, mask_gt)
+    mask_loss = jnp.sum(mask_l * ray_w) / n_live
+
+    total = (
+        rgb_loss
+        + config.ek_loss_weight * ek_loss
+        + config.mask_loss_weight * mask_loss
+    )
+    mse = jnp.sum(jnp.mean((pred - target) ** 2, -1) * ray_w) / n_live
+    aux = StepAux(
+        loss=total,
+        rgb_loss=rgb_loss,
+        ek_loss=ek_loss,
+        mask_loss=mask_loss,
+        n_valid_samples=jnp.sum(mask).astype(jnp.int32),
+        psnr_proxy=-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
+    )
+    return total, aux
+
+
+# ---------------------------------------------------------------------------
+# The jitted step
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "train_canonical", "train_delta", "use_delta"),
+    donate_argnames=("state",),
+)
+def train_step(
+    state: TrainState,
+    images: jnp.ndarray,
+    cameras: Cameras,
+    config: TrainConfig,
+    train_canonical: bool = True,
+    train_delta: bool = False,
+    use_delta: bool = False,
+) -> tuple[TrainState, StepAux]:
+    """One fully-on-device optimization step.
+
+    Phase flags are static (recompile on phase switch — once per frame):
+      * static scene: canonical only;
+      * dynamic pose-refinement: train_delta=True, train_canonical=False;
+      * dynamic finetune: both True (testbed.cu:2659-2667).
+    """
+    key, k_step = jax.random.split(state.key)
+
+    grad_fn = jax.value_and_grad(
+        _forward_loss, argnums=(0, 1), has_aux=True
+    )
+    (_, aux), (g_params, g_delta) = grad_fn(
+        state.params,
+        state.delta,
+        state,
+        images,
+        cameras,
+        k_step,
+        config,
+        use_delta or train_delta,
+    )
+
+    new_params, new_opt = state.params, state.opt_state
+    if train_canonical:
+        tx = make_optimizer(config.optim)
+        updates, new_opt = tx.update(g_params, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+    new_delta, new_delta_opt = state.delta, state.delta_opt_state
+    if train_delta:
+        dtx = make_delta_optimizer(config)
+        d_updates, new_delta_opt = dtx.update(
+            g_delta, state.delta_opt_state, state.delta
+        )
+        new_delta = optax.apply_updates(state.delta, d_updates)
+
+    new_ema = ema_update(state.ema_params, new_params, config.ema_decay)
+    return (
+        state._replace(
+            params=new_params,
+            ema_params=new_ema,
+            opt_state=new_opt,
+            delta=new_delta,
+            delta_opt_state=new_delta_opt,
+            step=state.step + 1,
+            frame_step=state.frame_step + 1,
+            key=key,
+        ),
+        aux,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Occupancy-grid maintenance (reference update_density_grid_nerf, 3293)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
+def occupancy_update(
+    state: TrainState, config: TrainConfig
+) -> TrainState:
+    """Probe cells -> NeuS logistic density -> EMA merge -> bitfield."""
+    key, k_probe = jax.random.split(state.key)
+    flat_idx, _, pos = occ.probe_cells(state.occupancy, k_probe, config.occ_n_probe)
+    pos_w = warp_position(pos, config.aabb())
+    unlock = config.field.grid.valid_level(state.frame_step)
+    sdf, _ = sdf_fn(state.params, pos_w, config.field, valid_level=unlock)
+    inv_s = variance_to_inv_s(state.params["variance"])
+    density = sdf_to_logistic_density(sdf, inv_s)
+    grid = occ.merge_probes(state.occupancy, flat_idx, density)
+    grid = occ.update_bitfield(grid)
+    return state._replace(occupancy=grid, key=key)
+
+
+def should_update_occupancy(step: int, interval: int = 16) -> bool:
+    """Reference schedule: every step for the first 256, then every 16
+    (testbed.cu:2669-2685 via m_training_prep_* cadence)."""
+    return step < 256 or step % interval == 0
+
+
+# ---------------------------------------------------------------------------
+# Host-side convenience loop (static scenes; the dynamic state machine lives
+# in neus2_tpu/api/testbed.py)
+# ---------------------------------------------------------------------------
+
+
+def train_static(
+    state: TrainState,
+    images: jnp.ndarray,
+    cameras: Cameras,
+    config: TrainConfig,
+    n_steps: int,
+    log_every: int = 16,
+    log_fn=None,
+) -> TrainState:
+    for i in range(n_steps):
+        if should_update_occupancy(int(state.step)):
+            state = occupancy_update(state, config)
+        state, aux = train_step(state, images, cameras, config)
+        if log_fn is not None and i % log_every == 0:
+            log_fn(int(state.step), jax.device_get(aux))
+    return state

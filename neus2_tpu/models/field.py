@@ -165,16 +165,23 @@ def sdf_normal_features(
 
     Replaces the reference's in-forward MLP+grid backward with
     EGradientMode::Ignore (nerf_network.h:228-259).
+
+    Forward-mode (jax.linearize): one primal evaluation plus three tangent
+    passes through the hashgrid interpolation and MLP — the autodiff
+    equivalent of the reference's analytic ``dy_dx`` cache (grid.h:175-369).
+    Forward-mode is deliberate: the gathered corner values are shared across
+    tangents (XLA CSEs them), and the reverse-mode transpose-of-gather chain
+    both compiles slower and SIGILLs the v5e fusion cost model.
     """
-    # One batched VJP computes every per-sample gradient at once (samples are
-    # independent, so pulling back a ones-cotangent on the scalar sdf yields
-    # exactly dSDF_i/dx_i).  The VJP computation itself is traced, so outer
-    # differentiation (eikonal grad-of-grad, param grads) flows through it.
+
     def f(xi):
         return sdf_fn(params, xi, config, valid_level, max_level)
 
-    (s, feat), vjp = jax.vjp(f, x)
-    (normal,) = vjp((jnp.ones_like(s), jnp.zeros_like(feat)))
+    (s, feat), f_lin = jax.linearize(f, x)
+    cols = [
+        f_lin(jnp.zeros_like(x).at[..., i].set(1.0))[0] for i in range(3)
+    ]
+    normal = jnp.stack(cols, axis=-1)
     return s, normal, feat
 
 

@@ -1,0 +1,135 @@
+"""Multi-chip data-parallel training: shard_map over a device mesh.
+
+The reference has no distributed computing of any kind (SURVEY.md §2.4) — this
+module is the TPU framework's first-class parallelism layer, per the BASELINE
+north star: shard *rays* across chips, replicate hashgrid+MLP params, psum
+gradients over ICI inside shard_map so XLA can overlap the all-reduce with the
+backward pass.
+
+Design:
+  * mesh axis "data" over all chips (1D; DCN x ICI layout comes free from
+    jax.make_mesh device ordering);
+  * every device draws its own ray minibatch (fold_in on the axis index) —
+    the global batch is n_rays_total = config.n_rays * n_devices;
+  * gradients and scalar metrics are pmean'd; the optimizer step runs
+    replicated (identical math on every chip — no weight gather needed);
+  * the hashgrid gradient is accumulated dense per-chip and pmean'd (the
+    BASELINE-named segment-sum sharded variant is a later optimization).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from neus2_tpu.engine.train import (
+    TrainConfig,
+    TrainState,
+    _forward_loss,
+    make_delta_optimizer,
+)
+from neus2_tpu.utils.optim import ema_update, make_optimizer
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "mesh",
+        "train_canonical",
+        "train_delta",
+        "use_delta",
+    ),
+    donate_argnames=("state",),
+)
+def parallel_train_step(
+    state: TrainState,
+    images: jnp.ndarray,
+    cameras,
+    config: TrainConfig,
+    mesh: Mesh,
+    train_canonical: bool = True,
+    train_delta: bool = False,
+    use_delta: bool = False,
+):
+    """One data-parallel step; state replicated, rays sharded by device.
+
+    ``config.n_rays`` is the *per-device* ray count.
+    """
+    key, k_step = jax.random.split(state.key)
+
+    def device_grads(params, delta, state_, images_, cameras_, key_):
+        key_ = jax.random.fold_in(key_, jax.lax.axis_index("data"))
+        grad_fn = jax.value_and_grad(_forward_loss, argnums=(0, 1), has_aux=True)
+        (_, aux), (g_params, g_delta) = grad_fn(
+            params,
+            delta,
+            state_,
+            images_,
+            cameras_,
+            key_,
+            config,
+            use_delta or train_delta,
+        )
+        # Gradient all-reduce over ICI; XLA overlaps this with backward.
+        g_params = jax.lax.pmean(g_params, "data")
+        g_delta = jax.lax.pmean(g_delta, "data")
+        aux = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, "data"), aux)
+        return g_params, g_delta, aux
+
+    sharded = jax.shard_map(
+        device_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    g_params, g_delta, aux = sharded(
+        state.params, state.delta, state, images, cameras, k_step
+    )
+
+    new_params, new_opt = state.params, state.opt_state
+    if train_canonical:
+        tx = make_optimizer(config.optim)
+        updates, new_opt = tx.update(g_params, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+    new_delta, new_delta_opt = state.delta, state.delta_opt_state
+    if train_delta:
+        dtx = make_delta_optimizer(config)
+        d_up, new_delta_opt = dtx.update(g_delta, state.delta_opt_state, state.delta)
+        new_delta = optax.apply_updates(state.delta, d_up)
+
+    new_ema = ema_update(state.ema_params, new_params, config.ema_decay)
+    return (
+        state._replace(
+            params=new_params,
+            ema_params=new_ema,
+            opt_state=new_opt,
+            delta=new_delta,
+            delta_opt_state=new_delta_opt,
+            step=state.step + 1,
+            frame_step=state.frame_step + 1,
+            key=key,
+        ),
+        aux,
+    )
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place every leaf of the train state replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), state
+    )
