@@ -1,0 +1,452 @@
+"""The Testbed API: the user-facing orchestrator (static + dynamic scenes).
+
+Mirrors the surface the reference exposes through pybind11 (reference:
+src/python_api.cu:317-616 — load_training_data, frame, train, render,
+save/load_snapshot, compute_and_save_marching_cubes_mesh,
+training_network_next_frame, loss scalars) and the dynamic-scene state machine
+of Testbed::frame/train/training_network_next_frame (src/testbed.cu:1722,
+2640-2712, 2001-2080; SURVEY.md §3.4).
+
+Unlike the reference's GPU god-object, this is a thin host-side driver over
+pure jitted functions: all state lives in a `TrainState` pytree; phase flags
+(train_canonical / train_delta / use_delta) are static jit arguments that
+change only at frame boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neus2_tpu.data.dataset import NerfDataset, list_frame_jsons, load_dataset
+from neus2_tpu.engine import occupancy as occ_mod
+from neus2_tpu.engine.render import RenderConfig, render_image
+from neus2_tpu.engine.train import (
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    make_delta_optimizer,
+    occupancy_update,
+    should_update_occupancy,
+    train_step,
+)
+from neus2_tpu.models import delta as delta_mod
+from neus2_tpu.models.field import FieldConfig
+from neus2_tpu.ops.hashgrid import HashGridConfig
+from neus2_tpu.utils.optim import make_optimizer
+
+
+@dataclasses.dataclass
+class Hyperparams:
+    """Dynamic-scene hyperparameters (reference configs/nerf/base.json:121-134,
+    defaults src/testbed.cu:2117-2139 / testbed.h:466-471)."""
+
+    first_frame_max_training_step: int = 2000
+    next_frame_max_training_step: int = 2000
+    predict_global_movement: bool = True
+    predict_global_movement_training_step: int = 50
+    finetune_global_movement: bool = True
+    mask_loss_weight: float = 0.0
+    ek_loss_weight: float = 0.1
+    reset_density_grid_after_global_movement: bool = False
+    incremental_reinit_sdf_mlp: bool = False
+    incremental_reinit_sdf_mlp_iters: int = 10
+    anneal_end: int = 0
+
+
+def config_from_json(path: str | Path) -> tuple[TrainConfig, Hyperparams]:
+    """Build configs from a reference-style network config JSON
+    (supports the ``parent`` inheritance of load_network_config,
+    src/testbed.cu:139-162)."""
+    path = Path(path)
+    with open(path) as f:
+        text = f.read()
+    # Strip // comments (the reference's json parser allows them).
+    text = "\n".join(l.split("//")[0] for l in text.splitlines())
+    cfg = json.loads(text)
+    while "parent" in cfg:
+        with open(path.parent / cfg.pop("parent")) as f:
+            parent = json.loads("\n".join(l.split("//")[0] for l in f.read().splitlines()))
+        parent.update(cfg)
+        cfg = parent
+
+    enc = cfg.get("encoding", {})
+    n_levels = int(enc.get("n_levels", 14))
+    base_res = int(enc.get("base_resolution", 16))
+    top_res = int(enc.get("top_resolution", 2048))
+    grid = HashGridConfig(
+        n_levels=n_levels,
+        n_features_per_level=int(enc.get("n_features_per_level", 2)),
+        log2_hashmap_size=int(enc.get("log2_hashmap_size", 19)),
+        base_resolution=base_res,
+        per_level_scale=enc.get(
+            "per_level_scale",
+            HashGridConfig.per_level_scale_from_top(base_res, top_res, n_levels),
+        ),
+        valid_level_scale=float(enc.get("valid_level_scale", 0.02)),
+        base_valid_level_scale=float(enc.get("base_valid_level_scale", 0.2)),
+        base_training_step=int(enc.get("base_training_step", 100)),
+    )
+    net = cfg.get("network", {})
+    rgb_net = cfg.get("rgb_network", {})
+    field = FieldConfig(
+        grid=grid,
+        sdf_hidden_dim=int(net.get("n_neurons", 64)),
+        sdf_n_hidden=int(net.get("n_hidden_layers", 1)),
+        rgb_hidden_dim=int(rgb_net.get("n_neurons", 64)),
+        rgb_n_hidden=int(rgb_net.get("n_hidden_layers", 2)),
+    )
+    hp = cfg.get("hyperparams", {})
+    hyper = Hyperparams(
+        first_frame_max_training_step=int(hp.get("first_frame_max_training_step", 2000)),
+        next_frame_max_training_step=int(hp.get("next_frame_max_training_step", 2000)),
+        predict_global_movement=bool(hp.get("predict_global_movement", False)),
+        predict_global_movement_training_step=int(
+            hp.get("predict_global_movement_training_step", 50)
+        ),
+        finetune_global_movement=bool(hp.get("finetune_global_movement", False)),
+        mask_loss_weight=float(hp.get("mask_loss_weight", 0.0)),
+        ek_loss_weight=float(hp.get("ek_loss_weight", 0.1)),
+        reset_density_grid_after_global_movement=bool(
+            hp.get("reset_density_grid_after_global_movement", False)
+        ),
+        incremental_reinit_sdf_mlp=bool(hp.get("incremental_reinit_sdf_mlp", False)),
+        incremental_reinit_sdf_mlp_iters=int(hp.get("incremental_reinit_sdf_mlp_iters", 10)),
+        anneal_end=int(hp.get("m_anneal_end", 0)),
+    )
+    loss_type = cfg.get("loss", {}).get("otype", "Huber")
+    opt = cfg.get("optimizer", {})
+    leaf = opt
+    while "nested" in leaf:
+        leaf = leaf["nested"]
+    from neus2_tpu.utils.optim import OptimConfig
+
+    train_cfg = TrainConfig(
+        field=field,
+        optim=OptimConfig(
+            learning_rate=float(leaf.get("learning_rate", 1e-3)),
+            beta1=float(leaf.get("beta1", 0.9)),
+            beta2=float(leaf.get("beta2", 0.99)),
+            epsilon=float(leaf.get("epsilon", 1e-15)),
+            l2_reg=float(leaf.get("l2_reg", 1e-6)),
+        ),
+        rgb_loss_type=loss_type,
+        ek_loss_weight=hyper.ek_loss_weight,
+        mask_loss_weight=hyper.mask_loss_weight,
+        anneal_end=hyper.anneal_end,
+    )
+    return train_cfg, hyper
+
+
+class Testbed:
+    """Static & dynamic NeuS2 training driver."""
+
+    def __init__(
+        self,
+        config: TrainConfig | None = None,
+        hyper: Hyperparams | None = None,
+        seed: int = 0,
+    ):
+        self.config = config or TrainConfig()
+        self.hyper = hyper or Hyperparams()
+        self.seed = seed
+        self.state: TrainState | None = None
+        self.dataset: NerfDataset | None = None
+        self.images = None
+        self.cameras = None
+        self.frame_jsons: list[Path] = []
+        self.current_training_time_frame = 0
+        self.training_step = 0  # step within current frame (m_training_step)
+        self.train_canonical = True
+        self.train_delta = False
+        self.use_delta = False
+        self.m_train = True
+        self.loss_scalar = float("nan")
+        self.ek_loss_scalar = float("nan")
+        self.mask_loss_scalar = float("nan")
+        self._frame_start_time = time.time()
+
+    # -- data ---------------------------------------------------------------
+
+    def load_training_data(self, scene_path: str | Path, n_frames_cap=None):
+        """Static scene (one json) or dynamic scene (dir of per-frame jsons)."""
+        self.frame_jsons = list_frame_jsons(scene_path)
+        self._load_frame(0, n_frames_cap)
+        if self.dataset.aabb_scale != self.config.aabb_scale:
+            self.config = dataclasses.replace(
+                self.config, aabb_scale=self.dataset.aabb_scale
+            )
+        self.state = init_train_state(jax.random.PRNGKey(self.seed), self.config)
+        self._frame_start_time = time.time()
+
+    def _load_frame(self, idx: int, n_frames_cap=None):
+        self.dataset = load_dataset(self.frame_jsons[idx], n_frames_cap)
+        self.images = self.dataset.images_device()
+        self.cameras = self.dataset.cameras()
+
+    @property
+    def all_training_time_frame(self) -> int:
+        return len(self.frame_jsons)
+
+    @property
+    def is_dynamic(self) -> bool:
+        return len(self.frame_jsons) > 1
+
+    # -- training loop ------------------------------------------------------
+
+    def _max_steps_this_frame(self) -> int:
+        if self.current_training_time_frame == 0:
+            return self.hyper.first_frame_max_training_step
+        return self.hyper.next_frame_max_training_step
+
+    def frame(self) -> bool:
+        """One training iteration + dynamic-frame bookkeeping
+        (reference Testbed::frame, testbed.cu:1722-1766). Returns False when
+        training is finished."""
+        if not self.m_train or self.state is None:
+            return False
+        if self.training_step >= self._max_steps_this_frame():
+            if not self.training_network_next_frame():
+                return False
+        self.train()
+        return True
+
+    def train(self):
+        """One optimization step (reference Testbed::train, testbed.cu:2640)."""
+        state = self.state
+        cfg = self._frame_config()
+
+        # Phase switch at the global-movement boundary (testbed.cu:2659-2667).
+        if (
+            self.current_training_time_frame >= 1
+            and self.training_step == self.hyper.predict_global_movement_training_step
+        ):
+            self.train_canonical = True
+            if not self.hyper.finetune_global_movement:
+                self.train_delta = False
+            if self.hyper.reset_density_grid_after_global_movement:
+                state = state._replace(
+                    occupancy=occ_mod.reset_density(state.occupancy)
+                )
+
+        if should_update_occupancy(self.training_step):
+            state = occupancy_update(state, cfg)
+
+        state, aux = train_step(
+            state,
+            self.images,
+            self.cameras,
+            cfg,
+            train_canonical=self.train_canonical,
+            train_delta=self.train_delta,
+            use_delta=self.use_delta,
+        )
+        self.state = state
+        self.training_step += 1
+        if self.training_step % 16 == 0 or self.training_step == 1:
+            a = jax.device_get(aux)
+            self.loss_scalar = float(a.loss)
+            self.ek_loss_scalar = float(a.ek_loss)
+            self.mask_loss_scalar = float(a.mask_loss)
+
+    def _frame_config(self) -> TrainConfig:
+        cfg = self.config
+        changes = {}
+        if self.hyper.anneal_end != cfg.anneal_end:
+            changes["anneal_end"] = self.hyper.anneal_end
+        if self.hyper.ek_loss_weight != cfg.ek_loss_weight:
+            changes["ek_loss_weight"] = self.hyper.ek_loss_weight
+        if self.hyper.mask_loss_weight != cfg.mask_loss_weight:
+            changes["mask_loss_weight"] = self.hyper.mask_loss_weight
+        return dataclasses.replace(cfg, **changes) if changes else cfg
+
+    def training_network_next_frame(self) -> bool:
+        """Advance the dynamic-scene state machine
+        (reference testbed.cu:2001-2080). Returns False on the last frame."""
+        if self.current_training_time_frame >= self.all_training_time_frame - 1:
+            return False
+        self.current_training_time_frame += 1
+        self._load_frame(self.current_training_time_frame)
+
+        state = self.state
+        # Fold the converged per-frame delta into the accumulated transform
+        # (accumulate_global_movement, nerf_network.h:1163) and reset it.
+        state = state._replace(
+            acc=delta_mod.accumulate_delta(state.acc, state.delta),
+            delta=delta_mod.init_delta(),
+        )
+        # Fresh optimizer state, keep params (reset_network_incremental,
+        # testbed.cu:2351 via save/load_snapshot_incremental).
+        tx = make_optimizer(self.config.optim)
+        dtx = make_delta_optimizer(self.config)
+        state = state._replace(
+            opt_state=tx.init(state.params),
+            delta_opt_state=dtx.init(delta_mod.init_delta()),
+            frame_step=jnp.zeros((), jnp.int32),
+        )
+        if (
+            self.hyper.incremental_reinit_sdf_mlp
+            and self.current_training_time_frame
+            % self.hyper.incremental_reinit_sdf_mlp_iters
+            == 0
+        ):
+            from neus2_tpu.models.field import init_field
+
+            fresh = init_field(jax.random.PRNGKey(1337), self.config.field)
+            params = dict(state.params)
+            params["sdf_mlp"] = fresh["sdf_mlp"]
+            ema = dict(state.ema_params)
+            ema["sdf_mlp"] = jax.tree_util.tree_map(jnp.copy, fresh["sdf_mlp"])
+            state = state._replace(params=params, ema_params=ema)
+
+        self.state = state
+        self.training_step = 0
+        # Pose-refinement phase first (testbed.cu:2074-2078).
+        self.train_canonical = False
+        self.train_delta = bool(self.hyper.predict_global_movement)
+        self.use_delta = self.train_delta
+        self._frame_start_time = time.time()
+        return True
+
+    def prepare_for_test(self):
+        """Freeze the delta path for rendering (testbed.cu:1987-1999)."""
+        self.use_delta = False
+
+    # -- rendering / eval ---------------------------------------------------
+
+    def render(
+        self,
+        img_idx: int = 0,
+        spp: int = 1,
+        background: float = 0.0,
+        render_cfg: RenderConfig | None = None,
+        use_ema: bool = True,
+    ):
+        cfg = render_cfg or RenderConfig(
+            field=self.config.field, aabb_scale=self.config.aabb_scale
+        )
+        params = self.state.ema_params if use_ema else self.state.params
+        rgb, depth, alpha = render_image(
+            params,
+            self.state.acc,
+            self.state.occupancy,
+            self.cameras,
+            self.cameras.poses[img_idx],
+            self.cameras.focal[img_idx],
+            self.cameras.principal[img_idx],
+            jax.random.PRNGKey(7),
+            cfg,
+            background=background,
+            spp=spp,
+        )
+        return np.asarray(rgb), np.asarray(depth), np.asarray(alpha)
+
+    def compute_and_save_marching_cubes_mesh(
+        self, path: str | Path, resolution: int = 256, thresh: float = 0.0
+    ):
+        """Reference python_api surface (python_api.cu:382; SURVEY §3.5)."""
+        from neus2_tpu.engine.mesh import extract_mesh, save_mesh_obj, save_mesh_ply
+        from neus2_tpu.ops.warp import scene_aabb
+
+        verts, tris = extract_mesh(
+            self.state.ema_params,
+            self.config.field,
+            resolution=resolution,
+            aabb=scene_aabb(self.config.aabb_scale),
+            thresh=thresh,
+        )
+        path = Path(path)
+        save = save_mesh_ply if path.suffix == ".ply" else save_mesh_obj
+        save(path, verts, tris, scale=self.dataset.scale, offset=self.dataset.offset)
+        return verts, tris
+
+    def save_transform(self, path: str | Path):
+        """Export the accumulated R|t as text (testbed.cu:3118-3141)."""
+        acc = jax.device_get(self.state.acc)
+        with open(path, "w") as f:
+            rot = np.asarray(acc["rotation"])
+            tr = np.asarray(acc["transition"])
+            for i in range(3):
+                f.write(" ".join(f"{v:.8f}" for v in rot[i]) + f" {tr[i]:.8f}\n")
+
+    # -- snapshots ----------------------------------------------------------
+
+    def save_snapshot(self, path: str | Path, incremental: bool = False):
+        """Serialize the full training state (reference save_snapshot,
+        testbed.cu:3144-3196; msgpack via flax.serialization)."""
+        from flax import serialization
+
+        state = jax.device_get(self.state)
+        payload = {
+            "params": state.params,
+            "ema_params": state.ema_params,
+            "opt_state": state.opt_state,
+            "delta": state.delta,
+            "delta_opt_state": state.delta_opt_state,
+            "acc": state.acc,
+            "density": state.occupancy.density,
+            "bitfield": state.occupancy.bitfield,
+            "ema_step": state.occupancy.ema_step,
+            "step": state.step,
+            "frame_step": state.frame_step,
+            "key": state.key,
+            "meta": {
+                "training_step": np.int32(self.training_step),
+                "frame": np.int32(self.current_training_time_frame),
+                "aabb_scale": np.int32(self.config.aabb_scale),
+            },
+        }
+        if incremental:
+            payload.pop("delta_opt_state")
+            payload.pop("opt_state")
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def load_snapshot(self, path: str | Path):
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        if self.state is None:
+            self.state = init_train_state(
+                jax.random.PRNGKey(self.seed), self.config
+            )
+        restored = self.state
+        tpl = jax.device_get(restored)
+
+        def _merge(template, data):
+            return jax.tree_util.tree_map(
+                lambda t, d: jnp.asarray(d).astype(t.dtype).reshape(t.shape),
+                template,
+                data,
+            )
+
+        occupancy = occ_mod.OccupancyGrid(
+            density=jnp.asarray(payload["density"]),
+            bitfield=jnp.asarray(payload["bitfield"]).astype(bool),
+            ema_step=jnp.asarray(payload["ema_step"], jnp.int32),
+        )
+        self.state = restored._replace(
+            params=_merge(tpl.params, payload["params"]),
+            ema_params=_merge(tpl.ema_params, payload["ema_params"]),
+            opt_state=(
+                _merge(tpl.opt_state, payload["opt_state"])
+                if "opt_state" in payload
+                else restored.opt_state
+            ),
+            delta=_merge(tpl.delta, payload["delta"]),
+            acc=_merge(tpl.acc, payload["acc"]),
+            occupancy=occupancy,
+            step=jnp.asarray(payload["step"], jnp.int32),
+            frame_step=jnp.asarray(payload["frame_step"], jnp.int32),
+            key=jnp.asarray(payload["key"], jnp.uint32),
+        )
+        meta = payload.get("meta", {})
+        self.training_step = int(meta.get("training_step", 0))
+        self.current_training_time_frame = int(meta.get("frame", 0))

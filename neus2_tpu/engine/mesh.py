@@ -1,0 +1,153 @@
+"""SDF grid query + marching-cubes mesh export.
+
+Mirrors the reference mesh path (SURVEY.md §3.5): batched SDF queries on a
+uniform grid on-device (reference Testbed::get_density_on_grid,
+src/testbed_nerf.cu:4096-4130 — queries NerfNetwork::sdf), then native
+marching cubes on host (reference marching_cubes_gpu, src/marching_cubes.cu:794)
+and OBJ/PLY export (save_mesh, 824) with the dataset scale/offset un-warp
+(Testbed::compute_and_save_marching_cubes_mesh, src/testbed.cu:308-320).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neus2_tpu.models.field import FieldConfig, sdf_fn
+from neus2_tpu.ops.warp import AABB
+
+
+@partial(jax.jit, static_argnames=("config", "resolution", "chunk"))
+def sdf_grid(
+    params,
+    config: FieldConfig,
+    lo: jnp.ndarray,  # (3,) world-space box
+    hi: jnp.ndarray,
+    aabb_lo: jnp.ndarray,
+    aabb_diag: jnp.ndarray,
+    resolution: int = 256,
+    chunk: int = 1 << 16,
+) -> jnp.ndarray:
+    """Evaluate the SDF on a uniform (R, R, R) grid over [lo, hi]."""
+    r = resolution
+    xs = (jnp.arange(r) + 0.5) / r
+    grid = jnp.stack(jnp.meshgrid(xs, xs, xs, indexing="ij"), axis=-1)
+    pts = lo + grid.reshape(-1, 3) * (hi - lo)
+    pts_w = (pts - aabb_lo) / aabb_diag
+
+    n = pts_w.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    pw = jnp.pad(pts_w, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+    def body(p):
+        s, _ = sdf_fn(params, p, config)
+        return s
+
+    vals = jax.lax.map(body, pw).reshape(-1)[:n]
+    return vals.reshape(r, r, r)
+
+
+def extract_mesh(
+    params,
+    config: FieldConfig,
+    resolution: int = 256,
+    box: AABB | None = None,
+    aabb: AABB | None = None,
+    thresh: float = 0.0,
+):
+    """Marching-cubes mesh of the SDF zero set -> (verts (V,3) world, tris)."""
+    from neus2_tpu.native import marching_cubes
+
+    if aabb is None:
+        aabb = AABB(jnp.zeros(3), jnp.ones(3))
+    if box is None:
+        box = aabb
+    grid = np.asarray(
+        sdf_grid(
+            params, config, box.lo, box.hi, aabb.lo, aabb.diag,
+            resolution=resolution,
+        )
+    )
+    verts, tris = marching_cubes(grid, thresh=thresh)
+    lo = np.asarray(box.lo)
+    hi = np.asarray(box.hi)
+    # vertex (i+0.5)/r spacing: grid samples are at cell centers
+    verts_world = lo + (verts + 0.5) / resolution * (hi - lo)
+    return verts_world, tris
+
+
+def save_mesh_obj(
+    path: str | Path,
+    verts: np.ndarray,
+    tris: np.ndarray,
+    scale: float = 1.0,
+    offset=(0.0, 0.0, 0.0),
+):
+    """OBJ export, un-warping by dataset scale/offset (testbed.cu:315).
+
+    Output vertices are (v - offset) / scale, i.e. original dataset space.
+    """
+    offset = np.asarray(offset, np.float32)
+    v = (verts - offset) / scale
+    path = Path(path)
+    with open(path, "w") as f:
+        f.write("# neus2_tpu marching cubes export\n")
+        for p in v:
+            f.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        for t in tris:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+
+def save_mesh_ply(
+    path: str | Path,
+    verts: np.ndarray,
+    tris: np.ndarray,
+    scale: float = 1.0,
+    offset=(0.0, 0.0, 0.0),
+    colors: np.ndarray | None = None,
+):
+    """Binary-less ASCII PLY export (reference save_mesh supports OBJ/PLY)."""
+    offset = np.asarray(offset, np.float32)
+    v = (verts - offset) / scale
+    path = Path(path)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(v)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(tris)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        if colors is not None:
+            c8 = np.clip(colors * 255.0, 0, 255).astype(np.uint8)
+            for p, c in zip(v, c8):
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
+        else:
+            for p in v:
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        for t in tris:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def chamfer_distance(a: np.ndarray, b: np.ndarray, n_sample: int = 30000, seed: int = 0):
+    """Symmetric point-set Chamfer distance (eval vs reference meshes)."""
+    rng = np.random.default_rng(seed)
+    if len(a) > n_sample:
+        a = a[rng.choice(len(a), n_sample, replace=False)]
+    if len(b) > n_sample:
+        b = b[rng.choice(len(b), n_sample, replace=False)]
+    a_j = jnp.asarray(a)
+    b_j = jnp.asarray(b)
+
+    @jax.jit
+    def one_way(p, q):
+        def body(pi):
+            return jnp.min(jnp.sum((q - pi) ** 2, -1))
+        return jnp.mean(jax.lax.map(body, p, batch_size=256))
+
+    return float(jnp.sqrt(one_way(a_j, b_j)) + jnp.sqrt(one_way(b_j, a_j)))

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from neus2_tpu.constants import SDF_BIAS, VARIANCE_INIT
 from neus2_tpu.models.mlp import apply_mlp, geometric_init_sdf_mlp, init_mlp
-from neus2_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, init_hashgrid
+from neus2_tpu.ops.hashgrid import HashGridConfig
+from neus2_tpu.ops.hashgrid_fast import init_hashgrid_tables, make_encode_jac
 from neus2_tpu.ops.neus_math import variance_to_inv_s
 from neus2_tpu.ops.sh import sh_encode, sh_output_dim
 
@@ -84,7 +85,7 @@ def init_field(key: jax.Array, config: FieldConfig) -> Params:
             config.sdf_out_dim,
         )
     return {
-        "hashgrid": init_hashgrid(k_grid, config.grid),
+        "hashgrid": init_hashgrid_tables(k_grid, config.grid),
         "sdf_mlp": sdf_mlp,
         "rgb_mlp": init_mlp(
             k_rgb,
@@ -98,11 +99,18 @@ def init_field(key: jax.Array, config: FieldConfig) -> Params:
     }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _encoder(grid_config: HashGridConfig):
+    return make_encode_jac(grid_config)
+
+
 def _raw_sdf_mlp(params: Params, sdf_mlp: Params, x: jnp.ndarray, config: FieldConfig,
                  valid_level, max_level) -> jnp.ndarray:
-    enc = hashgrid_encode(
-        params["hashgrid"], x, config.grid, valid_level=valid_level, max_level=max_level
-    )
+    del max_level  # per-sample max-level masking: optional extension
+    enc, _ = _encoder(config.grid)(params["hashgrid"], x, valid_level)
     inp = jnp.concatenate([x, enc], axis=-1)
     return apply_mlp(sdf_mlp, inp)
 
@@ -166,23 +174,29 @@ def sdf_normal_features(
     Replaces the reference's in-forward MLP+grid backward with
     EGradientMode::Ignore (nerf_network.h:228-259).
 
-    Forward-mode (jax.linearize): one primal evaluation plus three tangent
-    passes through the hashgrid interpolation and MLP — the autodiff
-    equivalent of the reference's analytic ``dy_dx`` cache (grid.h:175-369).
-    Forward-mode is deliberate: the gathered corner values are shared across
-    tangents (XLA CSEs them), and the reverse-mode transpose-of-gather chain
-    both compiles slower and SIGILLs the v5e fusion cost model.
+    The hashgrid contributes its *analytic* spatial Jacobian (the reference's
+    ``dy_dx`` cache, grid.h:175-369) through a custom-VJP encoder — one
+    gather pass, one scatter pass per step, and the eikonal term becomes
+    first-order in the Jacobian output (no grad-of-grad through gathers).
+    Only the tiny SDF MLP is linearized (forward-mode), which is cheap and
+    twice-differentiable.
     """
+    del max_level
+    enc, jac = _encoder(config.grid)(params["hashgrid"], x, valid_level)
+    inp = jnp.concatenate([x, enc], axis=-1)
 
-    def f(xi):
-        return sdf_fn(params, xi, config, valid_level, max_level)
-
-    (s, feat), f_lin = jax.linearize(f, x)
-    cols = [
-        f_lin(jnp.zeros_like(x).at[..., i].set(1.0))[0] for i in range(3)
-    ]
+    out, f_lin = jax.linearize(
+        lambda q: apply_mlp(params["sdf_mlp"], q), inp
+    )
+    eye = jnp.eye(3, dtype=x.dtype)
+    cols = []
+    for i in range(3):
+        tangent = jnp.concatenate(
+            [jnp.broadcast_to(eye[i], x.shape), jac[:, i, :]], axis=-1
+        )
+        cols.append(f_lin(tangent)[..., 0])
     normal = jnp.stack(cols, axis=-1)
-    return s, normal, feat
+    return out[..., 0] + config.sdf_bias, normal, out
 
 
 def rgb_fn(

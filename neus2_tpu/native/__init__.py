@@ -1,0 +1,79 @@
+"""ctypes bindings to the native runtime components (native/*.cpp).
+
+The shared library is built by ``native/build.sh`` (g++, no pybind11).  If the
+.so is missing we build it on first import — the toolchain is part of the
+deployment image.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SO = _HERE / "libneus2_native.so"
+
+
+def _ensure_built() -> Path:
+    if not _SO.exists():
+        build = _HERE.parent.parent / "native" / "build.sh"
+        subprocess.run(["sh", str(build)], check=True, capture_output=True)
+    return _SO
+
+
+_lib = None
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(str(_ensure_built()))
+        _lib.mc_run.restype = ctypes.c_void_p
+        _lib.mc_run.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+        ]
+        _lib.mc_num_vertices.restype = ctypes.c_int64
+        _lib.mc_num_vertices.argtypes = [ctypes.c_void_p]
+        _lib.mc_num_triangles.restype = ctypes.c_int64
+        _lib.mc_num_triangles.argtypes = [ctypes.c_void_p]
+        _lib.mc_copy_vertices.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        _lib.mc_copy_triangles.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+        _lib.mc_free.argtypes = [ctypes.c_void_p]
+    return _lib
+
+
+def marching_cubes(grid: np.ndarray, thresh: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Triangulate the ``thresh`` level set of a (nx, ny, nz) float32 grid.
+
+    Returns (vertices (V, 3) float32 in grid-index units, triangles (T, 3) int32).
+    Mirrors reference marching_cubes_gpu (src/marching_cubes.cu:794).
+    """
+    grid = np.ascontiguousarray(grid, np.float32)
+    nx, ny, nz = grid.shape
+    # mc_run indexes x fastest; our array is (x, y, z) C-order = z fastest,
+    # so pass transposed dims and flip vertex coords back.
+    l = lib()
+    h = l.mc_run(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nz, ny, nx, float(thresh),
+    )
+    try:
+        nv = l.mc_num_vertices(h)
+        nt = l.mc_num_triangles(h)
+        verts = np.empty((nv, 3), np.float32)
+        tris = np.empty((nt, 3), np.int32)
+        if nv:
+            l.mc_copy_vertices(h, verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if nt:
+            l.mc_copy_triangles(h, tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    finally:
+        l.mc_free(h)
+    # emitted coords are (x=fastest…) in the transposed frame: flip to (x,y,z)
+    return verts[:, ::-1].copy(), tris

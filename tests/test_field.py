@@ -88,9 +88,10 @@ def test_second_order_through_field(params):
         return jnp.mean((jnp.linalg.norm(normal, axis=-1) - 1.0) ** 2)
 
     g = jax.grad(eikonal)(params)
-    grid_g = np.asarray(g["hashgrid"])
+    for t in jax.tree_util.tree_leaves(g["hashgrid"]):
+        assert np.isfinite(np.asarray(t)).all()
     mlp_g = np.asarray(g["sdf_mlp"]["layers"][0]["w"])
-    assert np.isfinite(grid_g).all() and np.isfinite(mlp_g).all()
+    assert np.isfinite(mlp_g).all()
     assert np.abs(mlp_g).sum() > 0
 
 
@@ -102,4 +103,5 @@ def test_valid_level_still_differentiable(params):
         return jnp.sum(s) + jnp.sum(n)
 
     g = jax.grad(f)(params)
-    assert np.isfinite(np.asarray(g["hashgrid"])).all()
+    for t in jax.tree_util.tree_leaves(g["hashgrid"]):
+        assert np.isfinite(np.asarray(t)).all()
