@@ -177,6 +177,16 @@ class Testbed:
     def load_training_data(self, scene_path: str | Path, n_frames_cap=None):
         """Static scene (one json) or dynamic scene (dir of per-frame jsons)."""
         self.frame_jsons = list_frame_jsons(scene_path)
+        self._datasets = None
+        self._finish_load(n_frames_cap)
+
+    def load_training_data_from_datasets(self, datasets: list[NerfDataset]):
+        """In-memory datasets (synthetic scenes, tests); one per time frame."""
+        self._datasets = list(datasets)
+        self.frame_jsons = [Path(f"<memory:{i}>") for i in range(len(datasets))]
+        self._finish_load(None)
+
+    def _finish_load(self, n_frames_cap):
         self._load_frame(0, n_frames_cap)
         if self.dataset.aabb_scale != self.config.aabb_scale:
             self.config = dataclasses.replace(
@@ -186,7 +196,10 @@ class Testbed:
         self._frame_start_time = time.time()
 
     def _load_frame(self, idx: int, n_frames_cap=None):
-        self.dataset = load_dataset(self.frame_jsons[idx], n_frames_cap)
+        if getattr(self, "_datasets", None) is not None:
+            self.dataset = self._datasets[idx]
+        else:
+            self.dataset = load_dataset(self.frame_jsons[idx], n_frames_cap)
         self.images = self.dataset.images_device()
         self.cameras = self.dataset.cameras()
 
@@ -383,28 +396,24 @@ class Testbed:
         from flax import serialization
 
         state = jax.device_get(self.state)
+        if incremental:
+            # Incremental snapshots omit optimizer state (rebuilt fresh per
+            # frame — reference save_snapshot_incremental, testbed.cu:3180).
+            state = state._replace(
+                opt_state=(), delta_opt_state=()
+            )
+        # msgpack has no tuple type: store the flattened leaf list; the
+        # treedef is reconstructed from the live TrainState template on load.
+        leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(state)]
         payload = {
-            "params": state.params,
-            "ema_params": state.ema_params,
-            "opt_state": state.opt_state,
-            "delta": state.delta,
-            "delta_opt_state": state.delta_opt_state,
-            "acc": state.acc,
-            "density": state.occupancy.density,
-            "bitfield": state.occupancy.bitfield,
-            "ema_step": state.occupancy.ema_step,
-            "step": state.step,
-            "frame_step": state.frame_step,
-            "key": state.key,
+            "leaves": leaves,
+            "incremental": incremental,
             "meta": {
                 "training_step": np.int32(self.training_step),
                 "frame": np.int32(self.current_training_time_frame),
                 "aabb_scale": np.int32(self.config.aabb_scale),
             },
         }
-        if incremental:
-            payload.pop("delta_opt_state")
-            payload.pop("opt_state")
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
 
@@ -417,35 +426,25 @@ class Testbed:
             self.state = init_train_state(
                 jax.random.PRNGKey(self.seed), self.config
             )
-        restored = self.state
-        tpl = jax.device_get(restored)
-
-        def _merge(template, data):
-            return jax.tree_util.tree_map(
-                lambda t, d: jnp.asarray(d).astype(t.dtype).reshape(t.shape),
-                template,
-                data,
+        template = self.state
+        incremental = bool(payload.get("incremental", False))
+        if incremental:
+            template = template._replace(opt_state=(), delta_opt_state=())
+        treedef = jax.tree_util.tree_structure(template)
+        leaves = [jnp.asarray(payload["leaves"][k]) for k in sorted(
+            payload["leaves"], key=int
+        )] if isinstance(payload["leaves"], dict) else [
+            jnp.asarray(l) for l in payload["leaves"]
+        ]
+        restored = jax.tree_util.tree_unflatten(treedef, leaves)
+        if incremental:
+            restored = restored._replace(
+                opt_state=self.state.opt_state,
+                delta_opt_state=self.state.delta_opt_state,
             )
-
-        occupancy = occ_mod.OccupancyGrid(
-            density=jnp.asarray(payload["density"]),
-            bitfield=jnp.asarray(payload["bitfield"]).astype(bool),
-            ema_step=jnp.asarray(payload["ema_step"], jnp.int32),
-        )
-        self.state = restored._replace(
-            params=_merge(tpl.params, payload["params"]),
-            ema_params=_merge(tpl.ema_params, payload["ema_params"]),
-            opt_state=(
-                _merge(tpl.opt_state, payload["opt_state"])
-                if "opt_state" in payload
-                else restored.opt_state
-            ),
-            delta=_merge(tpl.delta, payload["delta"]),
-            acc=_merge(tpl.acc, payload["acc"]),
-            occupancy=occupancy,
-            step=jnp.asarray(payload["step"], jnp.int32),
-            frame_step=jnp.asarray(payload["frame_step"], jnp.int32),
-            key=jnp.asarray(payload["key"], jnp.uint32),
+        # Preserve exact dtypes of the template (bools etc.).
+        self.state = jax.tree_util.tree_map(
+            lambda t, r: r.astype(t.dtype), self.state, restored
         )
         meta = payload.get("meta", {})
         self.training_step = int(meta.get("training_step", 0))

@@ -58,9 +58,15 @@ def make_sphere_dataset(
     cam_distance: float = 1.2,
     fov_deg: float = 45.0,
     seed: int = 0,
+    center: np.ndarray | None = None,
 ) -> NerfDataset:
-    """Cameras on a sphere looking at the center; images premult-linear RGBA."""
+    """Cameras on a sphere looking at the center; images premult-linear RGBA.
+
+    ``center`` moves the object (cameras stay aimed at the scene center
+    (0.5)^3) — used by the dynamic moving-sphere scene.
+    """
     rng = np.random.default_rng(seed)
+    obj_center = SPHERE_CENTER if center is None else np.asarray(center, np.float32)
     w = h = resolution
     focal = 0.5 * w / np.tan(0.5 * np.deg2rad(fov_deg))
 
@@ -87,9 +93,9 @@ def make_sphere_dataset(
         dirs = dir_cam @ pose[:, :3].T
         dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
         o = np.broadcast_to(pose[:, 3], dirs.shape)
-        hit, t = ray_sphere(o, dirs, SPHERE_CENTER, SPHERE_RADIUS)
+        hit, t = ray_sphere(o, dirs, obj_center, SPHERE_RADIUS)
         p = o + t[..., None] * dirs
-        normal = (p - SPHERE_CENTER) / SPHERE_RADIUS
+        normal = (p - obj_center) / SPHERE_RADIUS
         rgb = shade_sphere(normal)
         alpha = hit.astype(np.float32)[..., None]
         images.append(
@@ -113,3 +119,28 @@ def make_sphere_dataset(
 def sphere_sdf(x: np.ndarray) -> np.ndarray:
     """Ground-truth SDF of the synthetic scene (for mesh/eval tests)."""
     return np.linalg.norm(x - SPHERE_CENTER, axis=-1) - SPHERE_RADIUS
+
+
+def make_moving_sphere_frames(
+    n_frames: int = 3,
+    translation_per_frame=(0.02, 0.0, 0.0),
+    n_views: int = 12,
+    resolution: int = 48,
+) -> list[NerfDataset]:
+    """A dynamic scene: the SAME sphere rigidly translated each frame.
+
+    Mirrors the reference's dynamic-scene setting (per-frame datasets +
+    a learnable global rigid transform, SURVEY.md §3.4): frame k's scene is
+    frame 0's geometry moved by k * translation_per_frame, so a correct
+    delta-transform estimate is exactly the (inverse) per-frame translation.
+    """
+    t = np.asarray(translation_per_frame, np.float32)
+    return [
+        make_sphere_dataset(
+            n_views=n_views,
+            resolution=resolution,
+            seed=k,
+            center=SPHERE_CENTER + k * t,
+        )
+        for k in range(n_frames)
+    ]

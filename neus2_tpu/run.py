@@ -1,0 +1,216 @@
+"""CLI runner: train / eval / mesh-export for static and dynamic scenes.
+
+Mirrors the reference driver scripts (reference: scripts/run.py — tqdm train
+loop over testbed.frame() at 207, TensorBoard loss logging at 230-233,
+PSNR/SSIM eval vs a held-out transforms_test.json at 251-344, marching-cubes
+export at 241-243 — and scripts/run_dynamic.py for per-frame dynamic scenes),
+plus the CLI surface of src/main.cu:30-120.
+
+Usage:
+  python -m neus2_tpu.run --scene data/scan24/transforms.json \
+      --network configs/base.json --n_steps 2000 --name exp1 \
+      --save_mesh --test_transforms data/scan24/transforms_test.json
+  python -m neus2_tpu.run --scene data/dynamic_scene_dir/ --name dyn1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", required=True,
+                   help="transforms.json (static) or a directory of per-frame jsons (dynamic)")
+    p.add_argument("--network", default=None, help="network config json (reference format)")
+    p.add_argument("--name", default="exp", help="experiment name -> output/<name>/")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="override first_frame_max_training_step")
+    p.add_argument("--snapshot", default=None, help="load snapshot before training")
+    p.add_argument("--save_snapshot_every", type=int, default=0)
+    p.add_argument("--save_mesh", action="store_true")
+    p.add_argument("--mesh_resolution", type=int, default=256)
+    p.add_argument("--test_transforms", default=None,
+                   help="held-out transforms json for PSNR/SSIM eval")
+    p.add_argument("--eval_spp", type=int, default=8)
+    p.add_argument("--n_rays", type=int, default=None)
+    p.add_argument("--samples_per_ray", type=int, default=None)
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--no_train", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import dataclasses
+    import os
+
+    import jax
+
+    # The axon TPU-tunnel platform ignores JAX_PLATFORMS; honor a cpu request
+    # by pinning the default device (same trick as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+
+    from neus2_tpu.api.testbed import Hyperparams, Testbed, config_from_json
+    from neus2_tpu.engine.train import TrainConfig
+
+    out = Path(args.output_dir) / args.name
+    for sub in ("checkpoints", "mesh", "logs"):
+        (out / sub).mkdir(parents=True, exist_ok=True)
+    log_path = out / "log.txt"
+
+    def log(msg: str):
+        print(msg, flush=True)
+        with open(log_path, "a") as f:
+            f.write(msg + "\n")
+
+    if args.network:
+        config, hyper = config_from_json(args.network)
+    else:
+        config, hyper = TrainConfig(), Hyperparams()
+    changes = {}
+    if args.n_rays:
+        changes["n_rays"] = args.n_rays
+    if args.samples_per_ray:
+        changes["samples_per_ray"] = args.samples_per_ray
+    if changes:
+        config = dataclasses.replace(config, **changes)
+    if args.n_steps:
+        hyper.first_frame_max_training_step = args.n_steps
+
+    tb = Testbed(config=config, hyper=hyper, seed=args.seed)
+    log(f"loading scene {args.scene}")
+    tb.load_training_data(args.scene)
+    log(
+        f"{tb.dataset.n_images} images @ {tb.dataset.resolution}, "
+        f"{tb.all_training_time_frame} time frame(s), devices={jax.devices()}"
+    )
+    if args.snapshot:
+        tb.load_snapshot(args.snapshot)
+        log(f"restored snapshot {args.snapshot}")
+
+    writer = None
+    if args.tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(log_dir=str(out / "logs"))
+
+    if not args.no_train:
+        t0 = time.time()
+        step = 0
+        last_frame = 0
+        while tb.frame():
+            step += 1
+            if tb.current_training_time_frame != last_frame:
+                last_frame = tb.current_training_time_frame
+                log(f"-> time frame {last_frame} at step {step} [{time.time()-t0:.1f}s]")
+                tb.save_snapshot(
+                    out / "checkpoints" / f"frame_{last_frame - 1}.msgpack",
+                    incremental=True,
+                )
+            if step % 100 == 0:
+                log(
+                    f"step {step} (frame {tb.current_training_time_frame} "
+                    f"local {tb.training_step}) loss={tb.loss_scalar:.5f} "
+                    f"ek={tb.ek_loss_scalar:.5f} mask={tb.mask_loss_scalar:.5f} "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+                if writer:
+                    writer.add_scalar("loss/rgb", tb.loss_scalar, step)
+                    writer.add_scalar("loss/ek", tb.ek_loss_scalar, step)
+                    writer.add_scalar("loss/mask", tb.mask_loss_scalar, step)
+            if args.save_snapshot_every and step % args.save_snapshot_every == 0:
+                tb.save_snapshot(out / "checkpoints" / f"{step}.msgpack")
+        log(f"training done: {step} steps in {time.time()-t0:.1f}s")
+        tb.save_snapshot(out / "checkpoints" / "final.msgpack")
+
+    tb.prepare_for_test()
+
+    if args.save_mesh:
+        mesh_path = out / "mesh" / "mesh.obj"
+        log(f"extracting mesh @ {args.mesh_resolution}^3 -> {mesh_path}")
+        verts, tris = tb.compute_and_save_marching_cubes_mesh(
+            mesh_path, resolution=args.mesh_resolution
+        )
+        log(f"mesh: {len(verts)} vertices, {len(tris)} triangles")
+
+    if args.test_transforms:
+        psnrs, ssims = evaluate(tb, args.test_transforms, args.eval_spp, log)
+        metrics = {
+            "psnr_mean": float(np.mean(psnrs)),
+            "ssim_mean": float(np.mean(ssims)),
+            "psnr": [float(p) for p in psnrs],
+        }
+        with open(out / "metrics.json", "w") as f:
+            json.dump(metrics, f, indent=2)
+        log(f"eval: PSNR {metrics['psnr_mean']:.2f} dB  SSIM {metrics['ssim_mean']:.4f}")
+
+    if writer:
+        writer.close()
+    return tb
+
+
+def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
+    """PSNR/SSIM on held-out views (reference run.py:251-344 protocol:
+    black background, spp=8, min transmittance 1e-4, sRGB space)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neus2_tpu.data.dataset import load_dataset
+    from neus2_tpu.engine.render import RenderConfig, render_image
+    from neus2_tpu.ops.image import psnr as psnr_fn
+    from neus2_tpu.ops.image import ssim as ssim_fn
+    from neus2_tpu.ops.losses import linear_to_srgb
+
+    ds = load_dataset(test_transforms)
+    cams = ds.cameras()
+    images = ds.images_device()
+    cfg = RenderConfig(
+        field=tb.config.field,
+        aabb_scale=tb.config.aabb_scale,
+        min_transmittance=1e-4,
+    )
+    psnrs, ssims = [], []
+    for i in range(ds.n_images):
+        rgb, _, _ = render_image(
+            tb.state.ema_params,
+            tb.state.acc,
+            tb.state.occupancy,
+            cams,
+            cams.poses[i],
+            cams.focal[i],
+            cams.principal[i],
+            jax.random.PRNGKey(i),
+            cfg,
+            background=0.0,
+            spp=spp,
+        )
+        tex = images[i]
+        a = tex[..., 3:4]
+        target = jnp.where(
+            a > 0,
+            linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a,
+            0.0,
+        )
+        p = float(psnr_fn(rgb, target))
+        s = float(ssim_fn(rgb, target))
+        psnrs.append(p)
+        ssims.append(s)
+        log(f"  view {i}: PSNR {p:.2f}  SSIM {s:.4f}")
+    return psnrs, ssims
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,122 @@
+"""Testbed API: static training, snapshots, mesh export, dynamic scenes."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neus2_tpu.api.testbed import Hyperparams, Testbed
+from neus2_tpu.data.synthetic import (
+    make_moving_sphere_frames,
+    make_sphere_dataset,
+)
+from neus2_tpu.engine.train import TrainConfig
+from neus2_tpu.models.field import FieldConfig, sdf_fn
+from neus2_tpu.ops.hashgrid import HashGridConfig
+
+
+def tiny_config(**kw) -> TrainConfig:
+    return TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(
+                n_levels=6, log2_hashmap_size=14, base_resolution=16,
+                per_level_scale=1.45,
+            ),
+            sdf_hidden_dim=32,
+            rgb_hidden_dim=32,
+        ),
+        n_rays=384,
+        samples_per_ray=32,
+        n_candidates=96,
+        ek_loss_weight=0.1,
+        mask_loss_weight=0.1,
+        occ_n_probe=1 << 12,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def static_testbed():
+    tb = Testbed(
+        config=tiny_config(),
+        hyper=Hyperparams(first_frame_max_training_step=150),
+    )
+    tb.load_training_data_from_datasets([make_sphere_dataset(10, 40)])
+    while tb.frame():
+        pass
+    return tb
+
+
+def test_static_training_runs(static_testbed):
+    tb = static_testbed
+    assert tb.training_step == 150
+    assert np.isfinite(tb.loss_scalar)
+    assert tb.loss_scalar < 0.05
+
+
+def test_render_surface(static_testbed):
+    rgb, depth, alpha = static_testbed.render(img_idx=0, spp=1)
+    assert rgb.shape == (40, 40, 3)
+    assert 0.05 < float(alpha.mean()) < 0.9  # object covers part of the view
+
+
+def test_snapshot_roundtrip(static_testbed, tmp_path):
+    tb = static_testbed
+    snap = tmp_path / "snap.msgpack"
+    tb.save_snapshot(snap)
+    tb2 = Testbed(config=tb.config, hyper=tb.hyper)
+    tb2.load_training_data_from_datasets([make_sphere_dataset(10, 40)])
+    tb2.load_snapshot(snap)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0.3, 0.7, (32, 3)), jnp.float32)
+    s1, _ = sdf_fn(tb.state.ema_params, x, tb.config.field)
+    s2, _ = sdf_fn(tb2.state.ema_params, x, tb2.config.field)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    assert tb2.training_step == tb.training_step
+
+
+def test_mesh_export(static_testbed, tmp_path):
+    verts, tris = static_testbed.compute_and_save_marching_cubes_mesh(
+        tmp_path / "mesh.obj", resolution=96
+    )
+    assert len(verts) > 100 and len(tris) > 100
+    assert (tmp_path / "mesh.obj").exists()
+    # After only 150 steps the surface is coarse; just check it's a compact
+    # closed surface around the GT sphere (precision gated by the e2e test).
+    radii = np.linalg.norm(verts - 0.5, axis=-1)
+    assert 0.15 < float(np.median(radii)) < 0.45
+
+
+def test_dynamic_scene_pose_recovery():
+    """Train frame 0, then frame 1 with pose refinement: the learned delta
+    translation must approximate the GT object motion."""
+    shift = (0.03, 0.0, 0.0)
+    frames = make_moving_sphere_frames(
+        n_frames=2, translation_per_frame=shift, n_views=10, resolution=40
+    )
+    tb = Testbed(
+        config=tiny_config(delta_lr=5e-3),
+        hyper=Hyperparams(
+            first_frame_max_training_step=250,
+            next_frame_max_training_step=120,
+            predict_global_movement=True,
+            predict_global_movement_training_step=80,
+            finetune_global_movement=False,
+        ),
+    )
+    tb.load_training_data_from_datasets(frames)
+    while tb.frame():
+        pass
+    assert tb.current_training_time_frame == 1
+    delta = jax.device_get(tb.state.delta)
+    t = np.asarray(delta["transition"])
+    # The canonical field models frame 0; samples of frame 1 are pulled back
+    # by the delta, so the learned translation ~ -shift.
+    assert abs(t[0] + shift[0]) < 0.02, t
+    assert abs(t[1]) < 0.015 and abs(t[2]) < 0.015, t
+    # Rotation should stay near identity.
+    from neus2_tpu.ops.rotation import rotation_6d_to_matrix
+
+    rot = np.asarray(rotation_6d_to_matrix(jnp.asarray(delta["rotation6d"])))
+    np.testing.assert_allclose(rot, np.eye(3), atol=0.05)
