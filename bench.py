@@ -49,18 +49,20 @@ def main():
     images = ds.images_device()
     cameras = ds.cameras()
 
-    state = init_train_state(jax.random.PRNGKey(0), config)
+    state = init_train_state(jax.random.PRNGKey(0), config, n_images=16)
     state = occupancy_update(state, config)
 
-    # Warmup / compile.
+    # Warmup / compile.  NOTE: under the axon tunnel block_until_ready may
+    # return before remote work drains; fetching a scalar value is the only
+    # reliable completion barrier, so time N chained steps ending in a fetch.
     state, aux = train_step(state, images, cameras, config)
-    jax.block_until_ready(aux.loss)
+    _ = float(aux.loss)
 
-    n_iters = 50
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, aux = train_step(state, images, cameras, config)
-    jax.block_until_ready(aux.loss)
+    _ = float(aux.loss)
     dt = time.perf_counter() - t0
 
     rays_per_s = config.n_rays * n_iters / dt

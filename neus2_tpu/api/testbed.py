@@ -27,12 +27,16 @@ import numpy as np
 from neus2_tpu.data.dataset import NerfDataset, list_frame_jsons, load_dataset
 from neus2_tpu.engine import occupancy as occ_mod
 from neus2_tpu.engine.render import RenderConfig, render_image
+from neus2_tpu.engine import error_map as emap_mod
 from neus2_tpu.engine.train import (
     TrainConfig,
     TrainState,
+    init_cam_params,
     init_train_state,
+    make_cam_optimizer,
     make_delta_optimizer,
     occupancy_update,
+    rebuild_error_cdf,
     should_update_occupancy,
     train_step,
 )
@@ -192,7 +196,9 @@ class Testbed:
             self.config = dataclasses.replace(
                 self.config, aabb_scale=self.dataset.aabb_scale
             )
-        self.state = init_train_state(jax.random.PRNGKey(self.seed), self.config)
+        self.state = init_train_state(
+            jax.random.PRNGKey(self.seed), self.config, self.dataset.n_images
+        )
         self._frame_start_time = time.time()
 
     def _load_frame(self, idx: int, n_frames_cap=None):
@@ -250,6 +256,8 @@ class Testbed:
 
         if should_update_occupancy(self.training_step):
             state = occupancy_update(state, cfg)
+        if cfg.use_error_map and emap_mod.should_rebuild(self.training_step):
+            state = rebuild_error_cdf(state)
 
         state, aux = train_step(
             state,
@@ -298,9 +306,15 @@ class Testbed:
         # testbed.cu:2351 via save/load_snapshot_incremental).
         tx = make_optimizer(self.config.optim)
         dtx = make_delta_optimizer(self.config)
+        cam = init_cam_params(self.dataset.n_images)
         state = state._replace(
             opt_state=tx.init(state.params),
             delta_opt_state=dtx.init(delta_mod.init_delta()),
+            cam=cam,
+            cam_opt_state=make_cam_optimizer(self.config).init(cam),
+            error_map=emap_mod.init_error_map(
+                self.dataset.n_images, self.config.error_map_res
+            ),
             frame_step=jnp.zeros((), jnp.int32),
         )
         if (
@@ -424,7 +438,8 @@ class Testbed:
             payload = serialization.msgpack_restore(f.read())
         if self.state is None:
             self.state = init_train_state(
-                jax.random.PRNGKey(self.seed), self.config
+                jax.random.PRNGKey(self.seed), self.config,
+                self.dataset.n_images if self.dataset else 1,
             )
         template = self.state
         incremental = bool(payload.get("incremental", False))

@@ -48,24 +48,16 @@ def pixel_to_ray(
     return origin, direction
 
 
-def sample_training_rays(
-    key: jax.Array,
+def rays_from_pixels(
     cameras: Cameras,
     images: jnp.ndarray,  # (N, H, W, 4) RGBA, alpha = mask
-    n_rays: int,
+    img_idx: jnp.ndarray,  # (B,)
+    uv: jnp.ndarray,  # (B, 2)
     snap_to_pixel_centers: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Uniformly sample training rays and fetch their RGBA targets.
+    """Rays + RGBA targets for given (image, uv) picks.
 
-    Mirrors the uniform path of the reference sampler (testbed_nerf.cu:1263+,
-    image_idx / nerf_random_image_pos_training in common_device.cuh) without
-    error-map importance sampling (that is an optional extension).
-
-    Returns (origins (B,3), dirs (B,3), rgba (B,4), img_idx (B,)).
-    """
-    k_img, k_uv = jax.random.split(key)
-    img_idx = jax.random.randint(k_img, (n_rays,), 0, cameras.n_images)
-    uv = jax.random.uniform(k_uv, (n_rays, 2))
+    Returns (origins (B,3), dirs (B,3), rgba (B,4), uv (B,2))."""
     w, h = cameras.resolution
     px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
     py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
@@ -73,7 +65,31 @@ def sample_training_rays(
         uv = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
     rgba = images[img_idx, py, px]
     origins, dirs = pixel_to_ray(cameras, img_idx, uv)
-    return origins, dirs, rgba.astype(jnp.float32), img_idx
+    return origins, dirs, rgba.astype(jnp.float32), uv
+
+
+def sample_training_rays(
+    key: jax.Array,
+    cameras: Cameras,
+    images: jnp.ndarray,
+    n_rays: int,
+    snap_to_pixel_centers: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Uniformly sample training rays and fetch their RGBA targets.
+
+    Mirrors the uniform path of the reference sampler (testbed_nerf.cu:1263+,
+    image_idx / nerf_random_image_pos_training in common_device.cuh); the
+    error-map importance path lives in engine/error_map.py.
+
+    Returns (origins (B,3), dirs (B,3), rgba (B,4), img_idx (B,)).
+    """
+    k_img, k_uv = jax.random.split(key)
+    img_idx = jax.random.randint(k_img, (n_rays,), 0, cameras.n_images)
+    uv = jax.random.uniform(k_uv, (n_rays, 2))
+    origins, dirs, rgba, _ = rays_from_pixels(
+        cameras, images, img_idx, uv, snap_to_pixel_centers
+    )
+    return origins, dirs, rgba, img_idx
 
 
 def rays_for_image(cameras: Cameras, img_idx: int) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -11,10 +11,11 @@ fused loss kernel at 1475-1998).  Design (SURVEY.md §7.1):
   * Fixed shapes: ``n_rays`` rays x ``samples_per_ray`` budget replaces the
     reference's atomics-compacted variable-length batch (2^18 samples with
     adaptively-tuned ray count, testbed.h:878).
-  * All gradients (incl. second-order through the SDF normal for the eikonal
-    term) come from jax.grad of this one function — replacing the
-    hand-derived dL/d(output) kernel (testbed_nerf.cu:1827-1947) and the
-    explicit double-backward orchestration (nerf_network.h:476-600).
+  * All gradients (incl. the second-order eikonal path, which is first-order
+    in the hashgrid's analytic Jacobian output — ops/hashgrid_fast.py) come
+    from jax.grad of this one function, replacing the hand-derived
+    dL/d(output) kernel (testbed_nerf.cu:1827-1947) and the explicit
+    double-backward orchestration (nerf_network.h:476-600).
 
 Loss normalization matches the reference contract:
   * rgb: mean over rays of the channel-mean Huber/5 (loss_scale/n_rays,
@@ -22,6 +23,13 @@ Loss normalization matches the reference contract:
   * eikonal: ek_weight * mean over all compacted samples ((||g||-1)^2) —
     the per-sample gradient is scaled 1/N_samples in nerf_network.h:490-496;
   * mask: BCE on clamped weight_sum per ray (testbed_nerf.cu:1700-1731).
+
+Optional subsystems (static config flags, mirroring reference features):
+  * error-map importance sampling over pixels/images (engine/error_map.py);
+  * per-image camera extrinsics + exposure optimization (the reference's
+    CPU-side AdamOptimizer over camera params, adam_optimizer.h /
+    compute_cam_gradient_train_nerf, testbed_nerf.cu:2000 — here the camera
+    offsets are just differentiable parameters of the same loss).
 """
 
 from __future__ import annotations
@@ -35,9 +43,10 @@ import jax.numpy as jnp
 import optax
 
 from neus2_tpu.constants import TRAIN_TRANSMITTANCE_EPS
+from neus2_tpu.engine import error_map as emap
 from neus2_tpu.engine import occupancy as occ
 from neus2_tpu.engine.march import cone_angle_for_scene, march_rays
-from neus2_tpu.engine.rays import Cameras, sample_training_rays
+from neus2_tpu.engine.rays import Cameras, rays_from_pixels
 from neus2_tpu.models import delta as delta_mod
 from neus2_tpu.models.field import FieldConfig, field_forward, init_field, sdf_fn
 from neus2_tpu.ops import losses as L
@@ -48,6 +57,7 @@ from neus2_tpu.ops.neus_math import (
     sdf_to_logistic_density,
     variance_to_inv_s,
 )
+from neus2_tpu.ops.rotation import apply_rotation, rotation_6d_to_matrix
 from neus2_tpu.ops.warp import AABB, scene_aabb, warp_direction, warp_position
 from neus2_tpu.utils.optim import OptimConfig, ema_update, make_optimizer
 
@@ -64,7 +74,7 @@ class TrainConfig:
     # (reference: 2^18 samples, rays auto-tuned from 4096; we fix both).
     n_rays: int = 4096
     samples_per_ray: int = 64
-    n_candidates: int = 192  # ray-march candidates before compaction
+    n_candidates: int = 192  # coarse occupancy-probe intervals per ray
     aabb_scale: int = 1
     near: float = 0.0
     rgb_loss_type: str = "Huber"
@@ -78,7 +88,13 @@ class TrainConfig:
     # Occupancy grid
     occ_n_probe: int = 1 << 17
     occ_cascades: int = 1
-    # Progressive hashgrid unlock offset (reset per dynamic frame).
+    # Error-map importance sampling (reference wants_importance_sampling).
+    use_error_map: bool = False
+    error_map_res: int = 32
+    # Camera optimization (reference optimize_extrinsics / exposure).
+    optimize_extrinsics: bool = False
+    optimize_exposure: bool = False
+    cam_lr: float = 1e-4
     compute_dtype: Any = jnp.float32
 
     @property
@@ -90,13 +106,16 @@ class TrainConfig:
 
 
 class TrainState(NamedTuple):
-    params: Params  # field params (hashgrid, sdf_mlp, rgb_mlp, variance)
+    params: Params  # field params (hashgrid tables, sdf_mlp, rgb_mlp, variance)
     ema_params: Params  # EMA copy used for inference (tcnn Ema optimizer)
     opt_state: Any
     delta: Params  # per-frame rigid transform (rotation6d, transition)
     delta_opt_state: Any
     acc: Params  # accumulated rigid transform {rotation (3,3), transition}
+    cam: Params  # per-image {rot6d (N,6), trans (N,3), exposure (N,3)}
+    cam_opt_state: Any
     occupancy: occ.OccupancyGrid
+    error_map: emap.ErrorMapState
     step: jnp.ndarray  # () int32 global step
     frame_step: jnp.ndarray  # () int32 step within current frame
     key: jax.Array
@@ -111,12 +130,34 @@ class StepAux(NamedTuple):
     psnr_proxy: jnp.ndarray
 
 
-def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
+class StepExtras(NamedTuple):
+    """Per-ray info consumed on-device by the step (error-map deposit)."""
+
+    img_idx: jnp.ndarray  # (B,)
+    uv: jnp.ndarray  # (B, 2)
+    ray_loss: jnp.ndarray  # (B,)
+
+
+def init_cam_params(n_images: int) -> Params:
+    from neus2_tpu.ops.rotation import identity_6d
+
+    return {
+        "rot6d": jnp.tile(identity_6d()[None], (max(n_images, 1), 1)),
+        "trans": jnp.zeros((max(n_images, 1), 3), jnp.float32),
+        "exposure": jnp.zeros((max(n_images, 1), 3), jnp.float32),
+    }
+
+
+def init_train_state(
+    key: jax.Array, config: TrainConfig, n_images: int = 1
+) -> TrainState:
     k_field, k_loop = jax.random.split(key)
     params = init_field(k_field, config.field)
     tx = make_optimizer(config.optim)
     delta = delta_mod.init_delta()
     delta_tx = make_delta_optimizer(config)
+    cam = init_cam_params(n_images)
+    cam_tx = make_cam_optimizer(config)
     return TrainState(
         params=params,
         # Distinct buffers: params/ema_params must not alias (donation).
@@ -125,7 +166,10 @@ def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
         delta=delta,
         delta_opt_state=delta_tx.init(delta),
         acc=delta_mod.init_accumulated(),
+        cam=cam,
+        cam_opt_state=cam_tx.init(cam),
         occupancy=occ.init_occupancy(config.occ_cascades),
+        error_map=emap.init_error_map(max(n_images, 1), config.error_map_res),
         step=jnp.zeros((), jnp.int32),
         frame_step=jnp.zeros((), jnp.int32),
         key=k_loop,
@@ -136,27 +180,50 @@ def make_delta_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(config.delta_lr, b1=0.9, b2=0.99, eps=1e-10)
 
 
+def make_cam_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(config.cam_lr, b1=0.9, b2=0.99, eps=1e-8)
+
+
+def adjusted_cameras(cam: Params, cameras: Cameras, config: TrainConfig) -> Cameras:
+    """Apply learnable per-image extrinsic offsets to the camera poses."""
+    if not config.optimize_extrinsics:
+        return cameras
+    rot = rotation_6d_to_matrix(cam["rot6d"])  # (N,3,3)
+    r = jnp.einsum("nij,njk->nik", rot, cameras.poses[..., :3])
+    t = cameras.poses[..., 3] + cam["trans"]
+    return cameras._replace(poses=jnp.concatenate([r, t[..., None]], axis=-1))
+
+
 # ---------------------------------------------------------------------------
 # The loss function (pure; differentiated by jax.grad)
 # ---------------------------------------------------------------------------
 
 
 def _forward_loss(
-    params: Params,
-    delta: Params,
+    diff_params: tuple[Params, Params, Params],
     state: TrainState,
     images: jnp.ndarray,
     cameras: Cameras,
     key: jax.Array,
     config: TrainConfig,
     use_delta: bool,
-) -> tuple[jnp.ndarray, StepAux]:
-    k_rays, k_march, k_bg, k_drop = jax.random.split(key, 4)
+) -> tuple[jnp.ndarray, tuple[StepAux, StepExtras]]:
+    params, delta, cam = diff_params
+    k_pix, k_march, k_bg, k_drop = jax.random.split(key, 4)
     aabb = config.aabb()
+    R, S = config.n_rays, config.samples_per_ray
 
-    origins, dirs, rgba, _ = sample_training_rays(
-        k_rays, cameras, images, config.n_rays
-    )
+    # --- ray selection: uniform or error-map CDF --------------------------
+    n_images = cameras.poses.shape[0]
+    if config.use_error_map:
+        img_idx, uv0 = emap.sample_pixels(state.error_map, k_pix, R, n_images)
+    else:
+        k_img, k_uv = jax.random.split(k_pix)
+        img_idx = jax.random.randint(k_img, (R,), 0, n_images)
+        uv0 = jax.random.uniform(k_uv, (R, 2))
+    cams_adj = adjusted_cameras(cam, cameras, config)
+    origins, dirs, rgba, uv = rays_from_pixels(cams_adj, images, img_idx, uv0)
+
     # Accumulated global transform on rays (testbed_nerf.cu:1380-1387).
     origins, dirs = delta_mod.apply_accumulated_to_rays(state.acc, origins, dirs)
 
@@ -164,12 +231,12 @@ def _forward_loss(
     # sample *placement* (the reference likewise treats t values as data).
     samples = march_rays(
         k_march,
-        origins,
-        dirs,
+        jax.lax.stop_gradient(origins),
+        jax.lax.stop_gradient(dirs),
         aabb,
         state.occupancy,
         config.n_candidates,
-        config.samples_per_ray,
+        S,
         cone_angle=config.cone_angle,
         near=config.near,
     )
@@ -179,12 +246,11 @@ def _forward_loss(
 
     pos = origins[:, None, :] + t[..., None] * dirs[:, None, :]
     pos_w = warp_position(pos, aabb)
-    dir_w = warp_direction(dirs)[:, None, :].repeat(config.samples_per_ray, 1)
+    dir_w = warp_direction(dirs)[:, None, :].repeat(S, 1)
     if use_delta:
         # Per-frame delta transform on warped samples (transform_network.h:49).
         pos_w, dir_w = delta_mod.apply_delta(delta, pos_w, dir_w)
 
-    R, S = config.n_rays, config.samples_per_ray
     flat = lambda a: a.reshape((R * S,) + a.shape[2:])
     unlock = config.field.grid.valid_level(state.frame_step)
     out = field_forward(
@@ -200,15 +266,18 @@ def _forward_loss(
     comp = composite_rays(rgb_s, alpha, t, mask, TRAIN_TRANSMITTANCE_EPS)
 
     if config.random_bg:
-        bg = jax.random.uniform(k_bg, (config.n_rays, 3))
+        bg = jax.random.uniform(k_bg, (R, 3))
     else:
-        bg = jnp.zeros((config.n_rays, 3))
+        bg = jnp.zeros((R, 3))
     # Target in sRGB space from premultiplied-linear texels
     # (testbed_nerf.cu:1669-1677); prediction composites bg behind.
+    texrgb = rgba[:, :3]
+    if config.optimize_exposure:
+        texrgb = texrgb * jnp.exp2(cam["exposure"][img_idx])
     a = rgba[:, 3:4]
     safe_a = jnp.where(a > 0, a, 1.0)
     target = jnp.where(
-        a > 0, L.linear_to_srgb(rgba[:, :3] / safe_a) * a + (1.0 - a) * bg, bg
+        a > 0, L.linear_to_srgb(texrgb / safe_a) * a + (1.0 - a) * bg, bg
     )
     pred = comp.rgb + comp.trans[:, None] * bg
 
@@ -244,7 +313,10 @@ def _forward_loss(
         n_valid_samples=jnp.sum(mask).astype(jnp.int32),
         psnr_proxy=-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
     )
-    return total, aux
+    extras = StepExtras(
+        img_idx=img_idx, uv=uv, ray_loss=jax.lax.stop_gradient(rgb_l * ray_w)
+    )
+    return total, (aux, extras)
 
 
 # ---------------------------------------------------------------------------
@@ -275,12 +347,9 @@ def train_step(
     """
     key, k_step = jax.random.split(state.key)
 
-    grad_fn = jax.value_and_grad(
-        _forward_loss, argnums=(0, 1), has_aux=True
-    )
-    (_, aux), (g_params, g_delta) = grad_fn(
-        state.params,
-        state.delta,
+    grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
+    (_, (aux, extras)), (g_params, g_delta, g_cam) = grad_fn(
+        (state.params, state.delta, state.cam),
         state,
         images,
         cameras,
@@ -303,6 +372,18 @@ def train_step(
         )
         new_delta = optax.apply_updates(state.delta, d_updates)
 
+    new_cam, new_cam_opt = state.cam, state.cam_opt_state
+    if config.optimize_extrinsics or config.optimize_exposure:
+        ctx = make_cam_optimizer(config)
+        c_updates, new_cam_opt = ctx.update(g_cam, state.cam_opt_state, state.cam)
+        new_cam = optax.apply_updates(state.cam, c_updates)
+
+    new_emap = state.error_map
+    if config.use_error_map:
+        new_emap = emap.deposit(
+            state.error_map, extras.img_idx, extras.uv, extras.ray_loss
+        )
+
     new_ema = ema_update(state.ema_params, new_params, config.ema_decay)
     return (
         state._replace(
@@ -311,12 +392,20 @@ def train_step(
             opt_state=new_opt,
             delta=new_delta,
             delta_opt_state=new_delta_opt,
+            cam=new_cam,
+            cam_opt_state=new_cam_opt,
+            error_map=new_emap,
             step=state.step + 1,
             frame_step=state.frame_step + 1,
             key=key,
         ),
         aux,
     )
+
+
+@jax.jit
+def rebuild_error_cdf(state: TrainState) -> TrainState:
+    return state._replace(error_map=emap.rebuild_cdf(state.error_map))
 
 
 # ---------------------------------------------------------------------------
@@ -363,8 +452,11 @@ def train_static(
     log_fn=None,
 ) -> TrainState:
     for i in range(n_steps):
-        if should_update_occupancy(int(state.step)):
+        step_i = int(state.step)
+        if should_update_occupancy(step_i):
             state = occupancy_update(state, config)
+        if config.use_error_map and emap.should_rebuild(step_i):
+            state = rebuild_error_cdf(state)
         state, aux = train_step(state, images, cameras, config)
         if log_fn is not None and i % log_every == 0:
             log_fn(int(state.step), jax.device_get(aux))

@@ -13,8 +13,10 @@ Design:
     the global batch is n_rays_total = config.n_rays * n_devices;
   * gradients and scalar metrics are pmean'd; the optimizer step runs
     replicated (identical math on every chip — no weight gather needed);
-  * the hashgrid gradient is accumulated dense per-chip and pmean'd (the
-    BASELINE-named segment-sum sharded variant is a later optimization).
+  * per-chip table updates are dense-accumulated then pmean'd — this also
+    divides the per-chip scatter cost (PERF.md) by the device count;
+  * per-ray extras (error-map deposits) come back ray-sharded and are
+    deposited once, replicated, outside the shard_map.
 """
 
 from __future__ import annotations
@@ -27,10 +29,12 @@ import optax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
+from neus2_tpu.engine import error_map as emap
 from neus2_tpu.engine.train import (
     TrainConfig,
     TrainState,
     _forward_loss,
+    make_cam_optimizer,
     make_delta_optimizer,
 )
 from neus2_tpu.utils.optim import ema_update, make_optimizer
@@ -70,12 +74,11 @@ def parallel_train_step(
     """
     key, k_step = jax.random.split(state.key)
 
-    def device_grads(params, delta, state_, images_, cameras_, key_):
+    def device_grads(params, delta, cam, state_, images_, cameras_, key_):
         key_ = jax.random.fold_in(key_, jax.lax.axis_index("data"))
-        grad_fn = jax.value_and_grad(_forward_loss, argnums=(0, 1), has_aux=True)
-        (_, aux), (g_params, g_delta) = grad_fn(
-            params,
-            delta,
+        grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
+        (_, (aux, extras)), grads = grad_fn(
+            (params, delta, cam),
             state_,
             images_,
             cameras_,
@@ -84,20 +87,19 @@ def parallel_train_step(
             use_delta or train_delta,
         )
         # Gradient all-reduce over ICI; XLA overlaps this with backward.
-        g_params = jax.lax.pmean(g_params, "data")
-        g_delta = jax.lax.pmean(g_delta, "data")
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, "data"), grads)
         aux = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, "data"), aux)
-        return g_params, g_delta, aux
+        return grads, aux, extras
 
     sharded = jax.shard_map(
         device_grads,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P("data")),
         check_vma=False,
     )
-    g_params, g_delta, aux = sharded(
-        state.params, state.delta, state, images, cameras, k_step
+    (g_params, g_delta, g_cam), aux, extras = sharded(
+        state.params, state.delta, state.cam, state, images, cameras, k_step
     )
 
     new_params, new_opt = state.params, state.opt_state
@@ -110,6 +112,17 @@ def parallel_train_step(
         dtx = make_delta_optimizer(config)
         d_up, new_delta_opt = dtx.update(g_delta, state.delta_opt_state, state.delta)
         new_delta = optax.apply_updates(state.delta, d_up)
+    new_cam, new_cam_opt = state.cam, state.cam_opt_state
+    if config.optimize_extrinsics or config.optimize_exposure:
+        ctx = make_cam_optimizer(config)
+        c_up, new_cam_opt = ctx.update(g_cam, state.cam_opt_state, state.cam)
+        new_cam = optax.apply_updates(state.cam, c_up)
+
+    new_emap = state.error_map
+    if config.use_error_map:
+        new_emap = emap.deposit(
+            state.error_map, extras.img_idx, extras.uv, extras.ray_loss
+        )
 
     new_ema = ema_update(state.ema_params, new_params, config.ema_decay)
     return (
@@ -119,6 +132,9 @@ def parallel_train_step(
             opt_state=new_opt,
             delta=new_delta,
             delta_opt_state=new_delta_opt,
+            cam=new_cam,
+            cam_opt_state=new_cam_opt,
+            error_map=new_emap,
             step=state.step + 1,
             frame_step=state.frame_step + 1,
             key=key,

@@ -69,7 +69,7 @@ def main(n_steps=400, n_views=12, resolution=48):
     images = images_all[:-1]
 
     config = small_config()
-    state = init_train_state(jax.random.PRNGKey(0), config)
+    state = init_train_state(jax.random.PRNGKey(0), config, n_images=n_views)
 
     t0 = time.time()
     for i in range(n_steps):

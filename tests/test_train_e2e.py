@@ -52,8 +52,8 @@ def test_train_step_is_deterministic():
     )
     images = ds.images_device()
     cameras = ds.cameras()
-    s0 = init_train_state(jax.random.PRNGKey(0), config)
-    s1 = init_train_state(jax.random.PRNGKey(0), config)
+    s0 = init_train_state(jax.random.PRNGKey(0), config, n_images=4)
+    s1 = init_train_state(jax.random.PRNGKey(0), config, n_images=4)
     for _ in range(2):
         s0, a0 = train_step(s0, images, cameras, config)
         s1, a1 = train_step(s1, images, cameras, config)
