@@ -43,6 +43,7 @@ from neus2_tpu.engine.train import (
 from neus2_tpu.models import delta as delta_mod
 from neus2_tpu.models.field import FieldConfig
 from neus2_tpu.ops.hashgrid import HashGridConfig
+from neus2_tpu.utils.meters import Meters
 from neus2_tpu.utils.optim import make_optimizer
 
 
@@ -174,6 +175,7 @@ class Testbed:
         self.loss_scalar = float("nan")
         self.ek_loss_scalar = float("nan")
         self.mask_loss_scalar = float("nan")
+        self.meters = Meters()
         self._frame_start_time = time.time()
 
     # -- data ---------------------------------------------------------------
@@ -254,20 +256,22 @@ class Testbed:
                     occupancy=occ_mod.reset_density(state.occupancy)
                 )
 
-        if should_update_occupancy(self.training_step):
-            state = occupancy_update(state, cfg)
-        if cfg.use_error_map and emap_mod.should_rebuild(self.training_step):
-            state = rebuild_error_cdf(state)
+        with self.meters.scope("training_prep"):
+            if should_update_occupancy(self.training_step):
+                state = occupancy_update(state, cfg)
+            if cfg.use_error_map and emap_mod.should_rebuild(self.training_step):
+                state = rebuild_error_cdf(state)
 
-        state, aux = train_step(
-            state,
-            self.images,
-            self.cameras,
-            cfg,
-            train_canonical=self.train_canonical,
-            train_delta=self.train_delta,
-            use_delta=self.use_delta,
-        )
+        with self.meters.scope("training"):
+            state, aux = train_step(
+                state,
+                self.images,
+                self.cameras,
+                cfg,
+                train_canonical=self.train_canonical,
+                train_delta=self.train_delta,
+                use_delta=self.use_delta,
+            )
         self.state = state
         self.training_step += 1
         if self.training_step % 16 == 0 or self.training_step == 1:
@@ -306,7 +310,7 @@ class Testbed:
         # testbed.cu:2351 via save/load_snapshot_incremental).
         tx = make_optimizer(self.config.optim)
         dtx = make_delta_optimizer(self.config)
-        cam = init_cam_params(self.dataset.n_images)
+        cam = init_cam_params(self.dataset.n_images, self.config)
         state = state._replace(
             opt_state=tx.init(state.params),
             delta_opt_state=dtx.init(delta_mod.init_delta()),

@@ -51,6 +51,12 @@ def _render_chunk(
     aabb: AABB,
     jitter: bool,
 ):
+    """Shared ray->samples->field->composite chunk; returns all AOVs.
+
+    The reference's render modes (ERenderMode: Shade/Depth/Normals/Cost,
+    composite_kernel_nerf + shade_kernel_nerf, testbed_nerf.cu:936-2160) map
+    to the returned channels: rgb, depth, opacity, normal, cost(=n samples).
+    """
     origins, dirs = delta_mod.apply_accumulated_to_rays(acc, origins, dirs)
     samples = march_rays(
         key,
@@ -79,7 +85,13 @@ def _render_chunk(
     comp = composite_rays(
         rgb_s, alpha, samples.t, samples.mask, config.min_transmittance
     )
-    return comp.rgb, comp.depth, comp.weight_sum
+    # Weighted surface normal (normalized), for the Normals render mode.
+    n_acc = jnp.sum(comp.weights[..., None] * normal_s, axis=-2)
+    n_acc = n_acc / jnp.maximum(
+        jnp.linalg.norm(n_acc, axis=-1, keepdims=True), 1e-8
+    )
+    cost = samples.n_valid.astype(jnp.float32)
+    return comp.rgb, comp.depth, comp.weight_sum, n_acc, cost
 
 
 @partial(jax.jit, static_argnames=("config", "jitter"))
@@ -114,9 +126,9 @@ def render_rays(
             params, acc, occupancy, oo, dd, kk, config, aabb, jitter
         )
 
-    rgb, depth, opacity = jax.lax.map(body, (o, d, keys))
+    rgb, depth, opacity, normal, cost = jax.lax.map(body, (o, d, keys))
     unflat = lambda a: a.reshape((n_chunks * c,) + a.shape[2:])[:n]
-    return unflat(rgb), unflat(depth), unflat(opacity)
+    return unflat(rgb), unflat(depth), unflat(opacity), unflat(normal), unflat(cost)
 
 
 def render_image(
@@ -131,8 +143,13 @@ def render_image(
     config: RenderConfig,
     background: jnp.ndarray | float = 0.0,
     spp: int | None = None,
+    mode: str = "shade",
 ):
-    """Render a full image -> (H, W, 3) sRGB in [0,1], (H, W) depth, (H, W) alpha.
+    """Render a full image -> (H, W, 3) image, (H, W) depth, (H, W) alpha.
+
+    ``mode``: "shade" (sRGB color), "depth" (grayscale), "normals"
+    (0.5*(n+1) color-coded), "cost" (marcher samples/ray) — the reference's
+    ERenderMode menu (testbed_nerf.cu:2148-2160, 2807-2817).
 
     Eval protocol (reference scripts/run.py:264-271): black background,
     spp=8 (jittered sample offsets averaged), min transmittance 1e-4; network
@@ -159,11 +176,22 @@ def render_image(
     op_acc = jnp.zeros((w * h,))
     for s in range(spp):
         k = jax.random.fold_in(key, s)
-        rgb, depth, opacity = render_rays(
+        rgb, depth, opacity, normal, cost = render_rays(
             params, acc, occupancy, origins, dirs, k, config, jitter=spp > 1
         )
-        rgb_acc += rgb + (1.0 - opacity)[:, None] * linear_to_srgb(bg)
+        if mode == "shade":
+            rgb_acc += rgb + (1.0 - opacity)[:, None] * linear_to_srgb(bg)
+        elif mode == "normals":
+            rgb_acc += 0.5 * (normal + 1.0) * opacity[:, None]
+        elif mode == "depth":
+            rgb_acc += depth[:, None].repeat(3, -1)
+        elif mode == "cost":
+            rgb_acc += cost[:, None].repeat(3, -1) / config.samples_per_ray
+        else:
+            raise ValueError(f"unknown render mode {mode!r}")
         depth_acc += depth
         op_acc += opacity
-    rgb_img = jnp.clip(rgb_acc / spp, 0.0, 1.0).reshape(h, w, 3)
+    rgb_img = (rgb_acc / spp).reshape(h, w, 3)
+    if mode == "shade":
+        rgb_img = jnp.clip(rgb_img, 0.0, 1.0)
     return rgb_img, (depth_acc / spp).reshape(h, w), (op_acc / spp).reshape(h, w)

@@ -95,6 +95,11 @@ class TrainConfig:
     optimize_extrinsics: bool = False
     optimize_exposure: bool = False
     cam_lr: float = 1e-4
+    # Learnable background environment map + lens distortion grid.
+    use_envmap: bool = False
+    envmap_res: tuple = (16, 32)
+    use_distortion: bool = False
+    distortion_res: tuple = (32, 32)
     compute_dtype: Any = jnp.float32
 
     @property
@@ -138,14 +143,23 @@ class StepExtras(NamedTuple):
     ray_loss: jnp.ndarray  # (B,)
 
 
-def init_cam_params(n_images: int) -> Params:
+def init_cam_params(n_images: int, config: "TrainConfig | None" = None) -> Params:
     from neus2_tpu.ops.rotation import identity_6d
 
-    return {
+    cam = {
         "rot6d": jnp.tile(identity_6d()[None], (max(n_images, 1), 1)),
         "trans": jnp.zeros((max(n_images, 1), 3), jnp.float32),
         "exposure": jnp.zeros((max(n_images, 1), 3), jnp.float32),
     }
+    if config is not None and config.use_envmap:
+        from neus2_tpu.ops.envmap import init_envmap
+
+        cam["envmap"] = init_envmap(jax.random.PRNGKey(42), config.envmap_res)
+    if config is not None and config.use_distortion:
+        from neus2_tpu.ops.envmap import init_distortion
+
+        cam["distortion"] = init_distortion(config.distortion_res)
+    return cam
 
 
 def init_train_state(
@@ -156,7 +170,7 @@ def init_train_state(
     tx = make_optimizer(config.optim)
     delta = delta_mod.init_delta()
     delta_tx = make_delta_optimizer(config)
-    cam = init_cam_params(n_images)
+    cam = init_cam_params(n_images, config)
     cam_tx = make_cam_optimizer(config)
     return TrainState(
         params=params,
@@ -223,6 +237,15 @@ def _forward_loss(
         uv0 = jax.random.uniform(k_uv, (R, 2))
     cams_adj = adjusted_cameras(cam, cameras, config)
     origins, dirs, rgba, uv = rays_from_pixels(cams_adj, images, img_idx, uv0)
+    if config.use_distortion:
+        # Lens-distortion warp applies to ray generation only, not the texel
+        # fetch (reference distortion map semantics).
+        from neus2_tpu.engine.rays import pixel_to_ray
+        from neus2_tpu.ops.envmap import apply_distortion
+
+        origins, dirs = pixel_to_ray(
+            cams_adj, img_idx, apply_distortion(cam["distortion"], uv)
+        )
 
     # Accumulated global transform on rays (testbed_nerf.cu:1380-1387).
     origins, dirs = delta_mod.apply_accumulated_to_rays(state.acc, origins, dirs)
@@ -269,6 +292,19 @@ def _forward_loss(
         bg = jax.random.uniform(k_bg, (R, 3))
     else:
         bg = jnp.zeros((R, 3))
+    if config.use_envmap:
+        # Composite the learnable envmap behind in linear space
+        # (testbed_nerf.cu:1646-1655), then return to sRGB.
+        from neus2_tpu.ops.envmap import composite_envmap_background
+
+        bg_lin = L.srgb_to_linear(bg)
+        bg = L.linear_to_srgb(
+            jnp.clip(
+                composite_envmap_background(cam["envmap"], dirs, bg_lin),
+                0.0,
+                1.0,
+            )
+        )
     # Target in sRGB space from premultiplied-linear texels
     # (testbed_nerf.cu:1669-1677); prediction composites bg behind.
     texrgb = rgba[:, :3]
@@ -373,7 +409,8 @@ def train_step(
         new_delta = optax.apply_updates(state.delta, d_updates)
 
     new_cam, new_cam_opt = state.cam, state.cam_opt_state
-    if config.optimize_extrinsics or config.optimize_exposure:
+    if (config.optimize_extrinsics or config.optimize_exposure
+            or config.use_envmap or config.use_distortion):
         ctx = make_cam_optimizer(config)
         c_updates, new_cam_opt = ctx.update(g_cam, state.cam_opt_state, state.cam)
         new_cam = optax.apply_updates(state.cam, c_updates)

@@ -1,0 +1,107 @@
+"""Envmap, distortion grid, camera path, render modes, meters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neus2_tpu.ops.envmap import (
+    apply_distortion,
+    composite_envmap_background,
+    envmap_lookup,
+    init_distortion,
+    init_envmap,
+)
+from neus2_tpu.utils.camera_path import CameraPath, orbit_path
+from neus2_tpu.utils.meters import Ema, Meters, StepEma
+
+
+def test_envmap_lookup_and_gradient():
+    env = init_envmap(jax.random.PRNGKey(0), (8, 16)) + 0.25
+    dirs = jax.random.normal(jax.random.PRNGKey(1), (32, 3))
+    out = envmap_lookup(env, dirs)
+    assert out.shape == (32, 4)
+    g = jax.grad(lambda e: composite_envmap_background(e, dirs, jnp.zeros((32, 3))).sum())(env)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_envmap_poles_and_equator():
+    env = jnp.zeros((8, 16, 4)).at[0, :, 0].set(1.0)  # top row red
+    up = jnp.array([[0.0, 0.0, 1.0]])
+    down = jnp.array([[0.0, 0.0, -1.0]])
+    assert float(envmap_lookup(env, up)[0, 0]) > 0.9
+    assert float(envmap_lookup(env, down)[0, 0]) < 0.1
+
+
+def test_distortion_identity_and_offset():
+    grid = init_distortion((8, 8))
+    uv = jax.random.uniform(jax.random.PRNGKey(0), (16, 2))
+    np.testing.assert_allclose(np.asarray(apply_distortion(grid, uv)), np.asarray(uv))
+    grid2 = grid + jnp.array([0.01, -0.02])
+    out = apply_distortion(grid2, uv)
+    np.testing.assert_allclose(
+        np.asarray(out - uv), np.tile([[0.01, -0.02]], (16, 1)), atol=1e-6
+    )
+
+
+def test_camera_path_interpolation_and_io(tmp_path):
+    path = orbit_path(n_keyframes=6)
+    k0 = path.eval(0.0)
+    assert k0.pose.shape == (3, 4)
+    # Interpolated rotation stays orthonormal.
+    k = path.eval(0.37)
+    rtr = k.pose[:, :3] @ k.pose[:, :3].T
+    np.testing.assert_allclose(rtr, np.eye(3), atol=1e-5)
+    # Positions stay near the orbit radius.
+    r = np.linalg.norm(k.pose[:2, 3] - 0.5)
+    assert 0.9 < r < 1.3
+    f = tmp_path / "path.json"
+    path.save(f)
+    path2 = CameraPath.load(f)
+    np.testing.assert_allclose(
+        path2.eval(0.37).pose, k.pose, atol=1e-6
+    )
+
+
+def test_render_modes():
+    from neus2_tpu.data.synthetic import make_sphere_dataset
+    from neus2_tpu.engine.render import RenderConfig, render_image
+    from neus2_tpu.engine.train import TrainConfig, init_train_state, occupancy_update
+    from neus2_tpu.models.field import FieldConfig
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+
+    ds = make_sphere_dataset(n_views=2, resolution=24)
+    cfg = TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                base_resolution=8, per_level_scale=1.6),
+            sdf_hidden_dim=32, rgb_hidden_dim=32,
+        ),
+        occ_n_probe=1 << 12,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg, n_images=2)
+    state = occupancy_update(state, cfg)
+    rcfg = RenderConfig(field=cfg.field, samples_per_ray=16, n_candidates=48,
+                        chunk=1 << 9)
+    cams = ds.cameras()
+    for mode in ("shade", "normals", "depth", "cost"):
+        img, depth, alpha = render_image(
+            state.ema_params, state.acc, state.occupancy, cams,
+            cams.poses[0], cams.focal[0], cams.principal[0],
+            jax.random.PRNGKey(1), rcfg, mode=mode,
+        )
+        assert img.shape == (24, 24, 3)
+        assert bool(jnp.isfinite(img).all()), mode
+
+
+def test_meters():
+    m = Meters()
+    with m.scope("training"):
+        pass
+    assert m.training_ms.value >= 0
+    e = Ema(half_life_s=1.0)
+    e.update(10.0, now=0.0)
+    v = e.update(0.0, now=1.0)  # one half-life later
+    assert 4.0 < v < 6.0
+    s = StepEma(0.5)
+    s.update(1.0)
+    assert s.update(0.0) == 0.5
