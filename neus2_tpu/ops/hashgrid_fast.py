@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from neus2_tpu.ops.hashgrid import HashGridConfig, _corner_indices
+from neus2_tpu.ops.scatter import segment_dense_sum
 
 # Corner offsets (8, 3): corner >> d & 1 per dimension.
 _CORNERS = [[(c >> d) & 1 for d in range(3)] for c in range(8)]
@@ -156,10 +157,13 @@ def make_encode_jac(config: HashGridConfig):
                 w[..., None] * ctf[:, None, :]
                 + jnp.einsum("ncj,njf->ncf", dw, ctj)
             )  # (N,8,F)
+            # Scatter-free segment sum: XLA:TPU scatter_add serializes per
+            # update (~80 ms/level at batch scale) while this sort-based
+            # path runs in a few ms (ops/scatter.py, PERF.md).
             d_tables.append(
-                jnp.zeros((table_rows[l], F), vals.dtype)
-                .at[idx]
-                .add(upd)
+                segment_dense_sum(
+                    idx.reshape(-1), upd.reshape(-1, F), table_rows[l]
+                )
             )
 
             # --- d positions (grid.h:804 first order + 1010 second order) ---
