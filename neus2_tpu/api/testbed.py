@@ -306,6 +306,15 @@ class Testbed:
             acc=delta_mod.accumulate_delta(state.acc, state.delta),
             delta=delta_mod.init_delta(),
         )
+        if self.config.field.residual_grid:
+            # DynamicGrid: freeze this frame's grid into the base, train a
+            # fresh residual for the next frame (double_hash_grid.h).
+            from neus2_tpu.models.field import freeze_grid_into_base
+
+            state = state._replace(
+                params=freeze_grid_into_base(state.params),
+                ema_params=freeze_grid_into_base(state.ema_params),
+            )
         # Fresh optimizer state, keep params (reset_network_incremental,
         # testbed.cu:2351 via save/load_snapshot_incremental).
         tx = make_optimizer(self.config.optim)

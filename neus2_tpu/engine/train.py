@@ -95,6 +95,8 @@ class TrainConfig:
     optimize_extrinsics: bool = False
     optimize_exposure: bool = False
     cam_lr: float = 1e-4
+    # Depth supervision (reference depth_supervision_lambda).
+    depth_supervision_lambda: float = 0.0
     # Learnable background environment map + lens distortion grid.
     use_envmap: bool = False
     envmap_res: tuple = (16, 32)
@@ -159,6 +161,11 @@ def init_cam_params(n_images: int, config: "TrainConfig | None" = None) -> Param
         from neus2_tpu.ops.envmap import init_distortion
 
         cam["distortion"] = init_distortion(config.distortion_res)
+    if config is not None and config.field.latent_dim > 0:
+        # Per-image appearance codes (reference n_extra_learnable_dims).
+        cam["latent"] = jnp.zeros(
+            (max(n_images, 1), config.field.latent_dim), jnp.float32
+        )
     return cam
 
 
@@ -221,6 +228,7 @@ def _forward_loss(
     key: jax.Array,
     config: TrainConfig,
     use_delta: bool,
+    depths: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, tuple[StepAux, StepExtras]]:
     params, delta, cam = diff_params
     k_pix, k_march, k_bg, k_drop = jax.random.split(key, 4)
@@ -276,8 +284,13 @@ def _forward_loss(
 
     flat = lambda a: a.reshape((R * S,) + a.shape[2:])
     unlock = config.field.grid.valid_level(state.frame_step)
+    latent = None
+    if config.field.latent_dim > 0:
+        latent = cam["latent"][img_idx][:, None, :].repeat(S, 1)
+        latent = flat(latent)
     out = field_forward(
-        params, flat(pos_w), flat(dir_w), config.field, valid_level=unlock
+        params, flat(pos_w), flat(dir_w), config.field, valid_level=unlock,
+        latent=latent,
     )
     rgb_s = out.rgb.reshape(R, S, 3)
     sdf_s = out.sdf.reshape(R, S)
@@ -335,10 +348,23 @@ def _forward_loss(
     mask_l = L.mask_bce_loss(comp.weight_sum, mask_gt)
     mask_loss = jnp.sum(mask_l * ray_w) / n_live
 
+    depth_loss = 0.0
+    if depths is not None and config.depth_supervision_lambda > 0.0:
+        # L2 on ray depth where ground truth exists
+        # (reference depth_supervision, testbed_nerf.cu:1903-1906).
+        w_img, h_img = cameras.resolution
+        px = jnp.minimum((uv[:, 0] * w_img).astype(jnp.int32), w_img - 1)
+        py = jnp.minimum((uv[:, 1] * h_img).astype(jnp.int32), h_img - 1)
+        depth_gt = depths[img_idx, py, px]
+        has_d = (depth_gt > 0.0).astype(jnp.float32) * ray_w
+        nd = jnp.maximum(jnp.sum(has_d), 1.0)
+        depth_loss = jnp.sum(has_d * (comp.depth - depth_gt) ** 2) / nd
+
     total = (
         rgb_loss
         + config.ek_loss_weight * ek_loss
         + config.mask_loss_weight * mask_loss
+        + config.depth_supervision_lambda * depth_loss
     )
     mse = jnp.sum(jnp.mean((pred - target) ** 2, -1) * ray_w) / n_live
     aux = StepAux(
@@ -373,6 +399,7 @@ def train_step(
     train_canonical: bool = True,
     train_delta: bool = False,
     use_delta: bool = False,
+    depths: jnp.ndarray | None = None,
 ) -> tuple[TrainState, StepAux]:
     """One fully-on-device optimization step.
 
@@ -383,6 +410,12 @@ def train_step(
     """
     key, k_step = jax.random.split(state.key)
 
+    # Error-map importance sampling is disabled during pure pose refinement:
+    # concentrating rays on few high-error cells ill-conditions the delta
+    # gradient (verified empirically; uniform sampling recovers the GT pose).
+    if config.use_error_map and train_delta and not train_canonical:
+        config = dataclasses.replace(config, use_error_map=False)
+
     grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
     (_, (aux, extras)), (g_params, g_delta, g_cam) = grad_fn(
         (state.params, state.delta, state.cam),
@@ -392,6 +425,7 @@ def train_step(
         k_step,
         config,
         use_delta or train_delta,
+        depths,
     )
 
     new_params, new_opt = state.params, state.opt_state
@@ -409,8 +443,13 @@ def train_step(
         new_delta = optax.apply_updates(state.delta, d_updates)
 
     new_cam, new_cam_opt = state.cam, state.cam_opt_state
-    if (config.optimize_extrinsics or config.optimize_exposure
-            or config.use_envmap or config.use_distortion):
+    # Camera/extras optimization only while canonical training is active:
+    # during the pose-refinement phase learnable extrinsics are gauge-
+    # ambiguous with the global delta transform.
+    if train_canonical and (
+            config.optimize_extrinsics or config.optimize_exposure
+            or config.use_envmap or config.use_distortion
+            or config.field.latent_dim > 0):
         ctx = make_cam_optimizer(config)
         c_updates, new_cam_opt = ctx.update(g_cam, state.cam_opt_state, state.cam)
         new_cam = optax.apply_updates(state.cam, c_updates)

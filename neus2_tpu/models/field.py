@@ -44,6 +44,13 @@ class FieldConfig:
     sdf_bias: float = SDF_BIAS
     geometric_init: bool = True
     init_radius: float = 0.5
+    # Per-image appearance/latent codes appended to the RGB input
+    # (reference n_extra_learnable_dims, nerf_loader.cu / testbed extra dims).
+    latent_dim: int = 0
+    # Residual hash grid for dynamic scenes: lookups read frozen_base + grid
+    # (reference [MOD] DynamicGridEncoding, my_tcnn double_hash_grid.h:288,
+    # 2483-2514 set_base_grid; registered as otype "DynamicGrid").
+    residual_grid: bool = False
 
     @property
     def sdf_in_dim(self) -> int:
@@ -51,9 +58,9 @@ class FieldConfig:
 
     @property
     def rgb_in_dim(self) -> int:
-        # [sdf features | SH(dir) | xyz | normal]
+        # [sdf features | SH(dir) | xyz | normal | latent]
         # (reference nerf_network.h:262-283 rgb_network_input layout)
-        return self.sdf_out_dim + sh_output_dim(self.sh_degree) + 3 + 3
+        return self.sdf_out_dim + sh_output_dim(self.sh_degree) + 3 + 3 + self.latent_dim
 
 
 class FieldOutput(NamedTuple):
@@ -84,7 +91,7 @@ def init_field(key: jax.Array, config: FieldConfig) -> Params:
             config.sdf_n_hidden,
             config.sdf_out_dim,
         )
-    return {
+    params_out = {
         "hashgrid": init_hashgrid_tables(k_grid, config.grid),
         "sdf_mlp": sdf_mlp,
         "rgb_mlp": init_mlp(
@@ -97,6 +104,12 @@ def init_field(key: jax.Array, config: FieldConfig) -> Params:
         # Single variance parameter, init 0.3 (nerf_network.h initialize_params).
         "variance": jnp.asarray(VARIANCE_INIT, jnp.float32),
     }
+    if config.residual_grid:
+        # Frozen base grid; see effective_grid_tables / freeze_grid_into_base.
+        params_out["hashgrid_base"] = tuple(
+            jnp.zeros_like(t) for t in params_out["hashgrid"]
+        )
+    return params_out
 
 
 import functools
@@ -107,10 +120,35 @@ def _encoder(grid_config: HashGridConfig):
     return make_encode_jac(grid_config)
 
 
+def effective_grid_tables(params: Params) -> tuple:
+    """Residual-grid composition: frozen base + trainable residual
+    (reference double_hash_grid.h:288: result = grid + base_grid)."""
+    tables = params["hashgrid"]
+    if "hashgrid_base" in params:
+        tables = tuple(
+            jax.lax.stop_gradient(b) + t
+            for b, t in zip(params["hashgrid_base"], tables)
+        )
+    return tables
+
+
+def freeze_grid_into_base(params: Params) -> Params:
+    """Fold the trained residual into the frozen base (dynamic frame switch;
+    reference set_base_grid, double_hash_grid.h:2483)."""
+    if "hashgrid_base" not in params:
+        return params
+    new = dict(params)
+    new["hashgrid_base"] = tuple(
+        b + t for b, t in zip(params["hashgrid_base"], params["hashgrid"])
+    )
+    new["hashgrid"] = tuple(jnp.zeros_like(t) for t in params["hashgrid"])
+    return new
+
+
 def _raw_sdf_mlp(params: Params, sdf_mlp: Params, x: jnp.ndarray, config: FieldConfig,
                  valid_level, max_level) -> jnp.ndarray:
     del max_level  # per-sample max-level masking: optional extension
-    enc, _ = _encoder(config.grid)(params["hashgrid"], x, valid_level)
+    enc, _ = _encoder(config.grid)(effective_grid_tables(params), x, valid_level)
     inp = jnp.concatenate([x, enc], axis=-1)
     return apply_mlp(sdf_mlp, inp)
 
@@ -182,7 +220,7 @@ def sdf_normal_features(
     twice-differentiable.
     """
     del max_level
-    enc, jac = _encoder(config.grid)(params["hashgrid"], x, valid_level)
+    enc, jac = _encoder(config.grid)(effective_grid_tables(params), x, valid_level)
     inp = jnp.concatenate([x, enc], axis=-1)
 
     out, f_lin = jax.linearize(
@@ -206,13 +244,19 @@ def rgb_fn(
     normal: jnp.ndarray,
     dir_warped: jnp.ndarray,
     config: FieldConfig,
+    latent: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """RGB head. Input layout mirrors nerf_network.h:262-283:
-    [sdf features | SH(warped dir) | xyz | dSDF/dx]; sigmoid output activation
-    (reference ENerfActivation::Logistic for rgb).
+    [sdf features | SH(warped dir) | xyz | dSDF/dx | latent]; sigmoid output
+    activation (reference ENerfActivation::Logistic for rgb).
     """
     sh = sh_encode(dir_warped, config.sh_degree).astype(features.dtype)
-    inp = jnp.concatenate([features, sh, x, normal], axis=-1)
+    parts = [features, sh, x, normal]
+    if config.latent_dim:
+        if latent is None:
+            latent = jnp.zeros(x.shape[:-1] + (config.latent_dim,), x.dtype)
+        parts.append(latent)
+    inp = jnp.concatenate(parts, axis=-1)
     return jax.nn.sigmoid(apply_mlp(params["rgb_mlp"], inp))
 
 
@@ -223,9 +267,10 @@ def field_forward(
     config: FieldConfig,
     valid_level=None,
     max_level=None,
+    latent: jnp.ndarray | None = None,
 ) -> FieldOutput:
     """Full field evaluation at warped positions/directions."""
     sdf, normal, feat = sdf_normal_features(params, x, config, valid_level, max_level)
-    rgb = rgb_fn(params, feat, x, normal, dir_warped, config)
+    rgb = rgb_fn(params, feat, x, normal, dir_warped, config, latent)
     inv_s = variance_to_inv_s(params["variance"])
     return FieldOutput(rgb=rgb, sdf=sdf, normal=normal, inv_s=inv_s)

@@ -21,6 +21,7 @@ Design:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -74,6 +75,12 @@ def parallel_train_step(
     """
     key, k_step = jax.random.split(state.key)
 
+    # Error-map importance sampling is disabled during pure pose refinement:
+    # concentrating rays on few high-error cells ill-conditions the delta
+    # gradient (verified empirically; uniform sampling recovers the GT pose).
+    if config.use_error_map and train_delta and not train_canonical:
+        config = dataclasses.replace(config, use_error_map=False)
+
     def device_grads(params, delta, cam, state_, images_, cameras_, key_):
         key_ = jax.random.fold_in(key_, jax.lax.axis_index("data"))
         grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
@@ -113,7 +120,12 @@ def parallel_train_step(
         d_up, new_delta_opt = dtx.update(g_delta, state.delta_opt_state, state.delta)
         new_delta = optax.apply_updates(state.delta, d_up)
     new_cam, new_cam_opt = state.cam, state.cam_opt_state
-    if config.optimize_extrinsics or config.optimize_exposure:
+    # Camera/extras optimization only while canonical training is active
+    # (gauge ambiguity with the global delta during pose refinement).
+    if train_canonical and (
+            config.optimize_extrinsics or config.optimize_exposure
+            or config.use_envmap or config.use_distortion
+            or config.field.latent_dim > 0):
         ctx = make_cam_optimizer(config)
         c_up, new_cam_opt = ctx.update(g_cam, state.cam_opt_state, state.cam)
         new_cam = optax.apply_updates(state.cam, c_up)
