@@ -42,7 +42,7 @@ def main():
         ),
         n_rays=4096,
         samples_per_ray=64,
-        n_candidates=512,
+        n_candidates=256,
         mask_loss_weight=0.1,
     )
     ds = make_sphere_dataset(n_views=16, resolution=256)

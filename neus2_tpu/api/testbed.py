@@ -176,6 +176,9 @@ class Testbed:
         self.ek_loss_scalar = float("nan")
         self.mask_loss_scalar = float("nan")
         self.meters = Meters()
+        # Called with the finished frame index just before a dynamic frame
+        # switch (per-frame eval hook; reference run_dynamic.py:183-201).
+        self.on_frame_complete = None
         self._frame_start_time = time.time()
 
     # -- data ---------------------------------------------------------------
@@ -233,6 +236,8 @@ class Testbed:
         if not self.m_train or self.state is None:
             return False
         if self.training_step >= self._max_steps_this_frame():
+            if self.on_frame_complete is not None:
+                self.on_frame_complete(self, self.current_training_time_frame)
             if not self.training_network_next_frame():
                 return False
         self.train()

@@ -221,7 +221,7 @@ def adjusted_cameras(cam: Params, cameras: Cameras, config: TrainConfig) -> Came
 
 
 def _forward_loss(
-    diff_params: tuple[Params, Params, Params],
+    diff_params: dict,
     state: TrainState,
     images: jnp.ndarray,
     cameras: Cameras,
@@ -230,7 +230,14 @@ def _forward_loss(
     use_delta: bool,
     depths: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, tuple[StepAux, StepExtras]]:
-    params, delta, cam = diff_params
+    # Only the param groups being optimized are passed in diff_params; the
+    # rest come from the (non-differentiated) state.  This keeps dead
+    # gradient paths out of the jaxpr — e.g. differentiating wrt camera
+    # params forces the encoder's d/dx chain (~240 ms/step) even when camera
+    # optimization is disabled.
+    params = diff_params.get("params", state.params)
+    delta = diff_params.get("delta", state.delta)
+    cam = diff_params.get("cam", state.cam)
     k_pix, k_march, k_bg, k_drop = jax.random.split(key, 4)
     aabb = config.aabb()
     R, S = config.n_rays, config.samples_per_ray
@@ -416,9 +423,27 @@ def train_step(
     if config.use_error_map and train_delta and not train_canonical:
         config = dataclasses.replace(config, use_error_map=False)
 
+    # Differentiate ONLY the actively-trained param groups (static flags).
+    train_cam = train_canonical and (
+        config.optimize_extrinsics or config.optimize_exposure
+        or config.use_envmap or config.use_distortion
+        or config.field.latent_dim > 0
+    )
+    diff = {}
+    if train_canonical:
+        diff["params"] = state.params
+    if train_delta:
+        diff["delta"] = state.delta
+    if train_cam:
+        # NOTE: camera extrinsics are gauge-ambiguous with the global delta,
+        # so cam optimization is gated to canonical phases.
+        diff["cam"] = state.cam
+    if not diff:
+        diff["params"] = state.params  # degenerate config: keep jaxpr valid
+
     grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
-    (_, (aux, extras)), (g_params, g_delta, g_cam) = grad_fn(
-        (state.params, state.delta, state.cam),
+    (_, (aux, extras)), grads = grad_fn(
+        diff,
         state,
         images,
         cameras,
@@ -431,27 +456,25 @@ def train_step(
     new_params, new_opt = state.params, state.opt_state
     if train_canonical:
         tx = make_optimizer(config.optim)
-        updates, new_opt = tx.update(g_params, state.opt_state, state.params)
+        updates, new_opt = tx.update(
+            grads["params"], state.opt_state, state.params
+        )
         new_params = optax.apply_updates(state.params, updates)
 
     new_delta, new_delta_opt = state.delta, state.delta_opt_state
     if train_delta:
         dtx = make_delta_optimizer(config)
         d_updates, new_delta_opt = dtx.update(
-            g_delta, state.delta_opt_state, state.delta
+            grads["delta"], state.delta_opt_state, state.delta
         )
         new_delta = optax.apply_updates(state.delta, d_updates)
 
     new_cam, new_cam_opt = state.cam, state.cam_opt_state
-    # Camera/extras optimization only while canonical training is active:
-    # during the pose-refinement phase learnable extrinsics are gauge-
-    # ambiguous with the global delta transform.
-    if train_canonical and (
-            config.optimize_extrinsics or config.optimize_exposure
-            or config.use_envmap or config.use_distortion
-            or config.field.latent_dim > 0):
+    if train_cam:
         ctx = make_cam_optimizer(config)
-        c_updates, new_cam_opt = ctx.update(g_cam, state.cam_opt_state, state.cam)
+        c_updates, new_cam_opt = ctx.update(
+            grads["cam"], state.cam_opt_state, state.cam
+        )
         new_cam = optax.apply_updates(state.cam, c_updates)
 
     new_emap = state.error_map

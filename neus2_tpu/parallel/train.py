@@ -81,11 +81,17 @@ def parallel_train_step(
     if config.use_error_map and train_delta and not train_canonical:
         config = dataclasses.replace(config, use_error_map=False)
 
-    def device_grads(params, delta, cam, state_, images_, cameras_, key_):
+    train_cam = train_canonical and (
+        config.optimize_extrinsics or config.optimize_exposure
+        or config.use_envmap or config.use_distortion
+        or config.field.latent_dim > 0
+    )
+
+    def device_grads(diff, state_, images_, cameras_, key_):
         key_ = jax.random.fold_in(key_, jax.lax.axis_index("data"))
         grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
         (_, (aux, extras)), grads = grad_fn(
-            (params, delta, cam),
+            diff,
             state_,
             images_,
             cameras_,
@@ -98,36 +104,41 @@ def parallel_train_step(
         aux = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, "data"), aux)
         return grads, aux, extras
 
+    diff = {}
+    if train_canonical:
+        diff["params"] = state.params
+    if train_delta:
+        diff["delta"] = state.delta
+    if train_cam:
+        diff["cam"] = state.cam
+    if not diff:
+        diff["params"] = state.params
+
     sharded = jax.shard_map(
         device_grads,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P("data")),
         check_vma=False,
     )
-    (g_params, g_delta, g_cam), aux, extras = sharded(
-        state.params, state.delta, state.cam, state, images, cameras, k_step
+    grads, aux, extras = sharded(
+        diff, state, images, cameras, k_step
     )
 
     new_params, new_opt = state.params, state.opt_state
     if train_canonical:
         tx = make_optimizer(config.optim)
-        updates, new_opt = tx.update(g_params, state.opt_state, state.params)
+        updates, new_opt = tx.update(grads["params"], state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
     new_delta, new_delta_opt = state.delta, state.delta_opt_state
     if train_delta:
         dtx = make_delta_optimizer(config)
-        d_up, new_delta_opt = dtx.update(g_delta, state.delta_opt_state, state.delta)
+        d_up, new_delta_opt = dtx.update(grads["delta"], state.delta_opt_state, state.delta)
         new_delta = optax.apply_updates(state.delta, d_up)
     new_cam, new_cam_opt = state.cam, state.cam_opt_state
-    # Camera/extras optimization only while canonical training is active
-    # (gauge ambiguity with the global delta during pose refinement).
-    if train_canonical and (
-            config.optimize_extrinsics or config.optimize_exposure
-            or config.use_envmap or config.use_distortion
-            or config.field.latent_dim > 0):
+    if train_cam:
         ctx = make_cam_optimizer(config)
-        c_up, new_cam_opt = ctx.update(g_cam, state.cam_opt_state, state.cam)
+        c_up, new_cam_opt = ctx.update(grads["cam"], state.cam_opt_state, state.cam)
         new_cam = optax.apply_updates(state.cam, c_up)
 
     new_emap = state.error_map

@@ -39,6 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--mesh_resolution", type=int, default=256)
     p.add_argument("--test_transforms", default=None,
                    help="held-out transforms json for PSNR/SSIM eval")
+    p.add_argument("--eval_per_frame", action="store_true",
+                   help="dynamic scenes: log view-0 PSNR when each frame finishes")
     p.add_argument("--eval_spp", type=int, default=8)
     p.add_argument("--n_rays", type=int, default=None)
     p.add_argument("--samples_per_ray", type=int, default=None)
@@ -106,6 +108,11 @@ def main(argv=None):
         from torch.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(log_dir=str(out / "logs"))
+
+    if args.eval_per_frame:
+        from neus2_tpu.run import _make_per_frame_eval
+
+        tb.on_frame_complete = _make_per_frame_eval(log)
 
     if not args.no_train:
         t0 = time.time()
@@ -214,3 +221,33 @@ def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
 
 if __name__ == "__main__":
     main(sys.argv[1:])
+
+
+def _make_per_frame_eval(log):
+    """Per-frame PSNR on view 0 (reference run_dynamic.py:183-201)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neus2_tpu.engine.render import RenderConfig, render_image
+    from neus2_tpu.ops.image import psnr as psnr_fn
+    from neus2_tpu.ops.losses import linear_to_srgb
+
+    def hook(tb, frame_idx):
+        cfg = RenderConfig(
+            field=tb.config.field, aabb_scale=tb.config.aabb_scale,
+            samples_per_ray=64, n_candidates=192,
+        )
+        cams = tb.cameras
+        rgb, _, _ = render_image(
+            tb.state.ema_params, tb.state.acc, tb.state.occupancy, cams,
+            cams.poses[0], cams.focal[0], cams.principal[0],
+            jax.random.PRNGKey(0), cfg, background=0.0, spp=1,
+        )
+        tex = tb.images[0]
+        a = tex[..., 3:4]
+        target = jnp.where(
+            a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a, 0.0
+        )
+        log(f"frame {frame_idx} view-0 PSNR: {float(psnr_fn(rgb, target)):.2f} dB")
+
+    return hook
