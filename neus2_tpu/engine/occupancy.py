@@ -163,6 +163,13 @@ def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
 def occupancy_at(state: OccupancyGrid, pos: jnp.ndarray) -> jnp.ndarray:
     """Bitfield lookup at world positions (..., 3) using the per-point mip."""
     g = state.grid_size
+    if state.n_cascades == 1:
+        # Single-cascade fast path: no per-point mip (log2/ceil) needed.
+        cell = jnp.floor(pos * g).astype(jnp.int32)
+        inside = jnp.all((cell >= 0) & (cell < g), axis=-1)
+        cell = jnp.clip(cell, 0, g - 1)
+        occ = state.bitfield[0, cell[..., 2], cell[..., 1], cell[..., 0]]
+        return occ & inside
     mip = mip_from_pos(pos, state.n_cascades - 1)
     scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
     rel = (pos - 0.5) * scale + 0.5
