@@ -151,3 +151,27 @@ def chamfer_distance(a: np.ndarray, b: np.ndarray, n_sample: int = 30000, seed: 
         return jnp.mean(jax.lax.map(body, p, batch_size=256))
 
     return float(jnp.sqrt(one_way(a_j, b_j)) + jnp.sqrt(one_way(b_j, a_j)))
+
+
+@partial(jax.jit, static_argnames=("config", "n_iters"))
+def refine_vertices(
+    params,
+    config: FieldConfig,
+    verts_w: jnp.ndarray,  # (V, 3) in warped coords
+    n_iters: int = 5,
+    step: float = 0.8,
+) -> jnp.ndarray:
+    """Project mesh vertices onto the SDF zero set by Newton steps along the
+    SDF gradient (the reference's mesh-vertex optimization,
+    compute_mesh_opt_gradients, src/marching_cubes.cu:762: SDF-guided vertex
+    descent; the 1-ring smoothing half is left to standard mesh tools)."""
+    from neus2_tpu.models.field import sdf_normal_features
+
+    def body(v, _):
+        s, n, _ = sdf_normal_features(params, v, config)
+        n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+        v = v - step * s[:, None] * n / jnp.maximum(n2, 1e-8)
+        return v, None
+
+    out, _ = jax.lax.scan(body, verts_w, None, length=n_iters)
+    return out

@@ -115,3 +115,49 @@ def sh_encode(dirs_warped: jnp.ndarray, degree: int) -> jnp.ndarray:
 
 def sh_output_dim(degree: int) -> int:
     return degree * degree
+
+
+# ---------------------------------------------------------------------------
+# The remaining small tcnn encodings (reference my_tcnn encodings/: Frequency,
+# HannWindowFrequency [MOD], OneBlob, TriangleWave, Identity) — trivially
+# differentiable jnp; available for composite encodings / the image testbed.
+# ---------------------------------------------------------------------------
+
+
+def frequency_encode(x: jnp.ndarray, n_frequencies: int) -> jnp.ndarray:
+    """NeRF positional encoding: [sin,cos](2^k pi x) (frequency.h)."""
+    freqs = 2.0 ** jnp.arange(n_frequencies, dtype=x.dtype) * jnp.pi
+    ang = x[..., None] * freqs  # (..., D, K)
+    out = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return out.reshape(*x.shape[:-1], -1)
+
+
+def hann_window_frequency_encode(
+    x: jnp.ndarray, n_frequencies: int, alpha: jnp.ndarray | float
+) -> jnp.ndarray:
+    """Frequency encoding with a Hann annealing window over bands
+    (reference [MOD] HannWindowFrequency; BARF-style coarse-to-fine):
+    band k is weighted by 0.5*(1-cos(pi*clip(alpha-k, 0, 1)))."""
+    k = jnp.arange(n_frequencies, dtype=x.dtype)
+    w = 0.5 * (1.0 - jnp.cos(jnp.pi * jnp.clip(jnp.asarray(alpha) - k, 0.0, 1.0)))
+    freqs = 2.0**k * jnp.pi
+    ang = x[..., None] * freqs
+    out = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1) * w[None, :, None]
+    return out.reshape(*x.shape[:-1], -1)
+
+
+def oneblob_encode(x: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """OneBlob encoding (oneblob.h): per-dim Gaussian blob over n_bins."""
+    centers = (jnp.arange(n_bins, dtype=x.dtype) + 0.5) / n_bins
+    sigma = 1.0 / n_bins
+    d = x[..., None] - centers
+    out = jnp.exp(-0.5 * (d / sigma) ** 2) / (sigma * jnp.sqrt(2.0 * jnp.pi))
+    return out.reshape(*x.shape[:-1], -1) / n_bins
+
+
+def trianglewave_encode(x: jnp.ndarray, n_frequencies: int) -> jnp.ndarray:
+    """TriangleWave encoding (triangle_wave.h): cheap periodic sawtooth-tri."""
+    freqs = 2.0 ** jnp.arange(n_frequencies, dtype=x.dtype)
+    v = x[..., None] * freqs
+    tri = jnp.abs(2.0 * (v - jnp.floor(v + 0.5)))
+    return tri.reshape(*x.shape[:-1], -1)

@@ -105,3 +105,46 @@ def test_meters():
     s = StepEma(0.5)
     s.update(1.0)
     assert s.update(0.0) == 0.5
+
+
+def test_small_encodings():
+    from neus2_tpu.ops.sh import (
+        frequency_encode,
+        hann_window_frequency_encode,
+        oneblob_encode,
+        trianglewave_encode,
+    )
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 3))
+    assert frequency_encode(x, 4).shape == (8, 3 * 4 * 2)
+    full = hann_window_frequency_encode(x, 4, alpha=4.0)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(frequency_encode(x, 4)), atol=1e-6)
+    windowed = hann_window_frequency_encode(x, 4, alpha=1.0)
+    # bands >= 1 fully suppressed
+    w = np.asarray(windowed).reshape(8, 3, 4, 2)
+    assert np.abs(w[:, :, 1:, :]).max() == 0.0
+    assert oneblob_encode(x, 8).shape == (8, 24)
+    assert trianglewave_encode(x, 3).shape == (8, 9)
+    g = jax.grad(lambda q: oneblob_encode(q, 8).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_refine_vertices_projects_to_surface():
+    from neus2_tpu.engine.mesh import refine_vertices
+    from neus2_tpu.models.field import FieldConfig, init_field, sdf_fn
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+
+    cfg = FieldConfig(
+        grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                            base_resolution=8, per_level_scale=1.6),
+        sdf_hidden_dim=32, rgb_hidden_dim=32,
+    )
+    params = init_field(jax.random.PRNGKey(0), cfg)  # ~sphere r=0.5
+    d = np.random.default_rng(0).normal(size=(128, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # start off-surface (r=0.4)
+    v0 = jnp.asarray(0.5 + 0.4 * d, jnp.float32)
+    v1 = refine_vertices(params, cfg, v0, n_iters=8)
+    s0, _ = sdf_fn(params, v0, cfg)
+    s1, _ = sdf_fn(params, v1, cfg)
+    assert float(jnp.abs(s1).mean()) < 0.2 * float(jnp.abs(s0).mean())
