@@ -2,7 +2,7 @@
 # Build the native runtime components into neus2_tpu/native/.
 set -e
 cd "$(dirname "$0")"
-mkdir -p ../neus2_tpu/native
+mkdir -p ../neus2_tpu/native/lib
 g++ -O3 -march=native -shared -fPIC -std=c++17 marching_cubes.cpp \
-    -o ../neus2_tpu/native/libneus2_native.so
-echo "built neus2_tpu/native/libneus2_native.so"
+    -o ../neus2_tpu/native/lib/libneus2_native.so
+echo "built neus2_tpu/native/lib/libneus2_native.so"

@@ -14,7 +14,7 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).parent
-_SO = _HERE / "libneus2_native.so"
+_SO = _HERE / "lib" / "libneus2_native.so"
 
 
 def _ensure_built() -> Path:
