@@ -434,11 +434,15 @@ class Testbed:
             state = state._replace(
                 opt_state=(), delta_opt_state=()
             )
-        # msgpack has no tuple type: store the flattened leaf list; the
-        # treedef is reconstructed from the live TrainState template on load.
-        leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(state)]
+        # msgpack has no tuple type: store leaves keyed by their pytree path
+        # so snapshots stay loadable when TrainState grows new fields.
+        flat, _ = jax.tree_util.tree_flatten_with_path(state)
+        leaves = {
+            jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat
+        }
         payload = {
             "leaves": leaves,
+            "format": "pathdict-v1",
             "incremental": incremental,
             "meta": {
                 "training_step": np.int32(self.training_step),
@@ -463,13 +467,29 @@ class Testbed:
         incremental = bool(payload.get("incremental", False))
         if incremental:
             template = template._replace(opt_state=(), delta_opt_state=())
-        treedef = jax.tree_util.tree_structure(template)
-        leaves = [jnp.asarray(payload["leaves"][k]) for k in sorted(
-            payload["leaves"], key=int
-        )] if isinstance(payload["leaves"], dict) else [
-            jnp.asarray(l) for l in payload["leaves"]
-        ]
-        restored = jax.tree_util.tree_unflatten(treedef, leaves)
+        stored = payload["leaves"]
+        if payload.get("format") == "pathdict-v1":
+            flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+            leaves = []
+            missing = []
+            for path, tmpl_leaf in flat:
+                k = jax.tree_util.keystr(path)
+                if k in stored:
+                    leaves.append(jnp.asarray(stored[k]).astype(tmpl_leaf.dtype))
+                else:
+                    missing.append(k)
+                    leaves.append(tmpl_leaf)
+            if missing:
+                print(
+                    f"load_snapshot: {len(missing)} state fields absent from "
+                    f"the snapshot kept at current values (e.g. {missing[:3]})"
+                )
+            restored = jax.tree_util.tree_unflatten(treedef, leaves)
+        else:
+            # Legacy positional-list format (pre path-keyed snapshots).
+            treedef = jax.tree_util.tree_structure(template)
+            leaves = [jnp.asarray(l) for l in stored]
+            restored = jax.tree_util.tree_unflatten(treedef, leaves)
         if incremental:
             restored = restored._replace(
                 opt_state=self.state.opt_state,

@@ -26,12 +26,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _on_cpu() -> bool:
+    """Trace-time backend check: native scatter is fast on CPU and the sort
+    pipeline is slow there — exactly the reverse of TPU."""
+    dev = getattr(jax.config, "jax_default_device", None)
+    if dev is not None:
+        return getattr(dev, "platform", None) == "cpu"
+    return jax.default_backend() == "cpu"
+
+
 def segment_dense_sum(
     idx: jnp.ndarray,  # (M,) int32 in [0, n_rows)
     upd: jnp.ndarray,  # (M, F) float
     n_rows: int,
+    method: str = "auto",
 ) -> jnp.ndarray:
-    """Equivalent of ``jnp.zeros((n_rows, F)).at[idx].add(upd)`` without scatter."""
+    """Equivalent of ``jnp.zeros((n_rows, F)).at[idx].add(upd)``.
+
+    method: "sort" (scatter-free, the TPU path), "scatter" (native, the CPU
+    path), or "auto" (scatter iff tracing for CPU)."""
+    if method == "auto":
+        method = "scatter" if _on_cpu() else "sort"
+    if method == "scatter":
+        return jnp.zeros((n_rows, upd.shape[1]), upd.dtype).at[idx].add(upd)
     M = idx.shape[0]
     F = upd.shape[1]
 

@@ -41,6 +41,8 @@ def parse_args(argv=None):
                    help="held-out transforms json for PSNR/SSIM eval")
     p.add_argument("--eval_per_frame", action="store_true",
                    help="dynamic scenes: log view-0 PSNR when each frame finishes")
+    p.add_argument("--ref_mesh", default=None,
+                   help="reference mesh (.obj) for Chamfer-distance eval")
     p.add_argument("--eval_spp", type=int, default=8)
     p.add_argument("--n_rays", type=int, default=None)
     p.add_argument("--samples_per_ray", type=int, default=None)
@@ -153,6 +155,21 @@ def main(argv=None):
         )
         log(f"mesh: {len(verts)} vertices, {len(tris)} triangles")
 
+    if args.ref_mesh:
+        from neus2_tpu.engine.mesh import chamfer_distance, extract_mesh
+        from neus2_tpu.ops.warp import scene_aabb
+
+        verts, _ = tb.compute_and_save_marching_cubes_mesh(
+            out / "mesh" / "eval_mesh.obj", resolution=args.mesh_resolution
+        ) if not args.save_mesh else (verts, tris)
+        ref_v = _load_obj_vertices(args.ref_mesh)
+        # OBJ exports live in dataset space ((v - offset) / scale); compare
+        # both meshes there.
+        off = np.asarray(tb.dataset.offset, np.float32)
+        verts_ds = (verts - off) / tb.dataset.scale
+        cd = chamfer_distance(verts_ds, ref_v)
+        log(f"chamfer vs {args.ref_mesh}: {cd:.6f}")
+
     if args.test_transforms:
         psnrs, ssims = evaluate(tb, args.test_transforms, args.eval_spp, log)
         metrics = {
@@ -217,6 +234,19 @@ def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
         ssims.append(s)
         log(f"  view {i}: PSNR {p:.2f}  SSIM {s:.4f}")
     return psnrs, ssims
+
+
+def _load_obj_vertices(path):
+    """Minimal OBJ vertex reader for Chamfer eval against reference meshes."""
+    import numpy as np
+
+    verts = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    return np.asarray(verts, np.float32)
 
 
 if __name__ == "__main__":
