@@ -294,6 +294,9 @@ class Testbed:
             changes["ek_loss_weight"] = self.hyper.ek_loss_weight
         if self.hyper.mask_loss_weight != cfg.mask_loss_weight:
             changes["mask_loss_weight"] = self.hyper.mask_loss_weight
+        if self.train_delta and not self.train_canonical:
+            # Pure pose refinement: small ray batch (TrainConfig.delta_n_rays).
+            changes["n_rays"] = min(cfg.n_rays, cfg.delta_n_rays)
         return dataclasses.replace(cfg, **changes) if changes else cfg
 
     def training_network_next_frame(self) -> bool:

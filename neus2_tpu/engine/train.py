@@ -85,6 +85,10 @@ class TrainConfig:
     ema_decay: float = 0.95
     # Delta (global movement) optimizer (base.json globalmove: Adam 1e-4).
     delta_lr: float = 1e-4
+    # Ray batch for the pure pose-refinement phase: 9 DoF need far fewer
+    # rays than canonical training, and the full-batch delta jaxpr also
+    # exceeds what the v5e compiler handles at L14 (PERF.md).
+    delta_n_rays: int = 1024
     # Occupancy grid
     occ_n_probe: int = 1 << 17
     occ_cascades: int = 1
