@@ -136,6 +136,9 @@ def config_from_json(path: str | Path) -> tuple[TrainConfig, Hyperparams]:
         field=field,
         optim=OptimConfig(
             learning_rate=float(leaf.get("learning_rate", 1e-3)),
+            after_learning_rate=float(
+                leaf.get("after_learning_rate", leaf.get("learning_rate", 1e-3))
+            ),
             beta1=float(leaf.get("beta1", 0.9)),
             beta2=float(leaf.get("beta2", 0.99)),
             epsilon=float(leaf.get("epsilon", 1e-15)),
@@ -297,6 +300,14 @@ class Testbed:
         if self.train_delta and not self.train_canonical:
             # Pure pose refinement: small ray batch (TrainConfig.delta_n_rays).
             changes["n_rays"] = min(cfg.n_rays, cfg.delta_n_rays)
+        if (
+            self.current_training_time_frame > 0
+            and cfg.optim.after_learning_rate != cfg.optim.learning_rate
+        ):
+            # Next-frame lr override (reference after_learning_rate).
+            changes["optim"] = dataclasses.replace(
+                cfg.optim, learning_rate=cfg.optim.after_learning_rate
+            )
         return dataclasses.replace(cfg, **changes) if changes else cfg
 
     def training_network_next_frame(self) -> bool:

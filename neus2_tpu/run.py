@@ -96,7 +96,11 @@ def main(argv=None):
 
     tb = Testbed(config=config, hyper=hyper, seed=args.seed)
     log(f"loading scene {args.scene}")
-    tb.load_training_data(args.scene)
+    try:
+        tb.load_training_data(args.scene)
+    except FileNotFoundError as e:
+        print(f"error: scene not found: {e}", file=sys.stderr)
+        sys.exit(2)
     log(
         f"{tb.dataset.n_images} images @ {tb.dataset.resolution}, "
         f"{tb.all_training_time_frame} time frame(s), devices={jax.devices()}"

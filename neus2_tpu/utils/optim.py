@@ -27,6 +27,9 @@ import optax
 @dataclasses.dataclass(frozen=True)
 class OptimConfig:
     learning_rate: float = 1e-3
+    # Learning rate for frames after the first in dynamic scenes
+    # (reference Adam "after_learning_rate", testbed.cu:2698-2703).
+    after_learning_rate: float = 1e-3
     beta1: float = 0.9
     beta2: float = 0.99
     epsilon: float = 1e-15
