@@ -300,6 +300,16 @@ class Testbed:
         if self.train_delta and not self.train_canonical:
             # Pure pose refinement: small ray batch (TrainConfig.delta_n_rays).
             changes["n_rays"] = min(cfg.n_rays, cfg.delta_n_rays)
+        if self.current_training_time_frame > 0:
+            # Frames >= 1: rgb loss switches to L2 (testbed.cu:2038
+            # training_network_next_frame sets loss_config["otype"]="L2"),
+            # and the progressive grid unlock runs on the offset step so the
+            # pose-refinement phase sees all levels (testbed.cu:2652-2657).
+            changes["rgb_loss_type"] = "L2"
+            if self.hyper.predict_global_movement:
+                changes["valid_level_step_offset"] = (
+                    self.hyper.predict_global_movement_training_step
+                )
         if (
             self.current_training_time_frame > 0
             and cfg.optim.after_learning_rate != cfg.optim.learning_rate

@@ -114,7 +114,9 @@ def march_rays(
     else:
         xi = jnp.full((R, budget), 0.5)
     frac = (jnp.arange(budget, dtype=jnp.float32)[None, :] + xi) / budget
-    u = frac * total[:, None]  # (R, B), nondecreasing per ray
+    # Clamp strictly below total: f32 rounding can give frac*total == total
+    # for the top stratum, which would select past the last valid candidate.
+    u = jnp.minimum(frac * total[:, None], total[:, None] * (1.0 - 1e-7))
 
     # Inverse CDF via a fused comparison-sum (equivalent to per-ray
     # searchsorted side="right", but one vectorized reduce instead of a
@@ -125,8 +127,9 @@ def march_rays(
     idx = jnp.minimum(idx, n_candidates - 1)
     take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
     cum_before = take(cum) - take(seg)
-    # Position inside the chosen occupied interval, exact inverse CDF.
-    t = take(t0) + jnp.clip(u - cum_before, 0.0, None)
+    # Position inside the chosen occupied interval, exact inverse CDF
+    # (clipped to the interval so rounding never places t past its end).
+    t = take(t0) + jnp.clip(u - cum_before, 0.0, take(seg))
     dt = jnp.maximum(total[:, None] / budget, 1e-10)
     dt = jnp.broadcast_to(dt, t.shape)
     mask = jnp.broadcast_to(((total > 0.0) & hit)[:, None], t.shape)

@@ -81,6 +81,12 @@ class TrainConfig:
     ek_loss_weight: float = 0.1
     mask_loss_weight: float = 0.0
     anneal_end: int = 0  # base.json m_anneal_end = 0 (no annealing)
+    # Progressive-unlock step offset: for dynamic frames >= 1 the reference
+    # passes (step - predict_global_movement_training_step) to the encoder's
+    # set_training_step (testbed.cu:2652-2657), so during pose refinement
+    # (offset step <= 0) ALL grid levels are valid and the canonical-phase
+    # unlock schedule restarts at the phase boundary.
+    valid_level_step_offset: int = 0
     random_bg: bool = True  # reference m_nerf.training.random_bg_color = true
     ema_decay: float = 0.95
     # Delta (global movement) optimizer (base.json globalmove: Adam 1e-4).
@@ -294,7 +300,9 @@ def _forward_loss(
         pos_w, dir_w = delta_mod.apply_delta(delta, pos_w, dir_w)
 
     flat = lambda a: a.reshape((R * S,) + a.shape[2:])
-    unlock = config.field.grid.valid_level(state.frame_step)
+    unlock = config.field.grid.valid_level(
+        state.frame_step - config.valid_level_step_offset
+    )
     latent = None
     if config.field.latent_dim > 0:
         latent = cam["latent"][img_idx][:, None, :].repeat(S, 1)
@@ -524,7 +532,9 @@ def occupancy_update(
     key, k_probe = jax.random.split(state.key)
     flat_idx, _, pos = occ.probe_cells(state.occupancy, k_probe, config.occ_n_probe)
     pos_w = warp_position(pos, config.aabb())
-    unlock = config.field.grid.valid_level(state.frame_step)
+    unlock = config.field.grid.valid_level(
+        state.frame_step - config.valid_level_step_offset
+    )
     sdf, _ = sdf_fn(state.params, pos_w, config.field, valid_level=unlock)
     inv_s = variance_to_inv_s(state.params["variance"])
     density = sdf_to_logistic_density(sdf, inv_s)

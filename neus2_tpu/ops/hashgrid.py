@@ -19,8 +19,9 @@ Behavior contract reproduced from the reference:
     valid_level = min(L, ceil(base_valid_level_scale*L +
     valid_level_scale*max(0, step - base_training_step))) (grid.h:2427-2440).
 
-A Pallas kernel with identical numerics lives in ``hashgrid_pallas.py``; this
-module is the always-correct fallback and the test oracle.
+The TPU performance path (custom-VJP encoder, one gather + one segment-sum
+pass) lives in ``hashgrid_fast.py``; this module is the always-correct
+fallback and the test oracle.
 """
 
 from __future__ import annotations

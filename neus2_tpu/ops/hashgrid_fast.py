@@ -158,11 +158,15 @@ def make_encode_jac(config: HashGridConfig):
                 + jnp.einsum("ncj,njf->ncf", dw, ctj)
             )  # (N,8,F)
             # Scatter-free segment sum: XLA:TPU scatter_add serializes per
-            # update (~80 ms/level at batch scale) while this sort-based
-            # path runs in a few ms (ops/scatter.py, PERF.md).
+            # update (~80 ms/level at batch scale); hashed levels take the
+            # sort+Pallas tile-reduce (ops/segment_tile.py), dense levels
+            # the two-sort pipeline (ops/scatter.py, PERF.md).
             d_tables.append(
                 segment_dense_sum(
-                    idx.reshape(-1), upd.reshape(-1, F), table_rows[l]
+                    idx.reshape(-1),
+                    upd.reshape(-1, F),
+                    table_rows[l],
+                    uniform_hint=bool(use_hash[l]),
                 )
             )
 

@@ -40,15 +40,33 @@ def segment_dense_sum(
     upd: jnp.ndarray,  # (M, F) float
     n_rows: int,
     method: str = "auto",
+    uniform_hint: bool = False,
 ) -> jnp.ndarray:
     """Equivalent of ``jnp.zeros((n_rows, F)).at[idx].add(upd)``.
 
-    method: "sort" (scatter-free, the TPU path), "scatter" (native, the CPU
-    path), or "auto" (scatter iff tracing for CPU)."""
+    method: "sort" (scatter-free two-sort pipeline, TPU-safe for any index
+    distribution), "sorttile" (one sort + Pallas tile reduce — fastest, but
+    requires near-uniform indices and 512-divisible n_rows; see
+    ops/segment_tile.py capacity contract), "scatter" (native, the CPU
+    path), or "auto" (scatter on CPU; sorttile on TPU when ``uniform_hint``
+    and shape allow, else sort).
+
+    ``uniform_hint``: caller asserts the indices are hash-uniform (true for
+    hashed grid levels, NOT for dense coarse levels where samples
+    concentrate in few cells)."""
     if method == "auto":
-        method = "scatter" if _on_cpu() else "sort"
+        if _on_cpu():
+            method = "scatter"
+        elif uniform_hint and n_rows % 512 == 0 and n_rows >= 4096:
+            method = "sorttile"
+        else:
+            method = "sort"
     if method == "scatter":
         return jnp.zeros((n_rows, upd.shape[1]), upd.dtype).at[idx].add(upd)
+    if method == "sorttile":
+        from neus2_tpu.ops.segment_tile import segment_sum_sorttile
+
+        return segment_sum_sorttile(idx, upd, n_rows)
     M = idx.shape[0]
     F = upd.shape[1]
 

@@ -120,3 +120,27 @@ def test_dynamic_scene_pose_recovery():
 
     rot = np.asarray(rotation_6d_to_matrix(jnp.asarray(delta["rotation6d"])))
     np.testing.assert_allclose(rot, np.eye(3), atol=0.05)
+
+
+def test_frame_config_next_frame_overrides():
+    """Frames >= 1: L2 rgb loss (testbed.cu:2038) and the progressive-unlock
+    step offset (testbed.cu:2652-2657) are applied; frame 0 is untouched."""
+    tb = Testbed(
+        config=tiny_config(),
+        hyper=Hyperparams(
+            predict_global_movement=True,
+            predict_global_movement_training_step=50,
+        ),
+    )
+    cfg0 = tb._frame_config()
+    assert cfg0.rgb_loss_type == "Huber"
+    assert cfg0.valid_level_step_offset == 0
+
+    tb.current_training_time_frame = 1
+    cfg1 = tb._frame_config()
+    assert cfg1.rgb_loss_type == "L2"
+    assert cfg1.valid_level_step_offset == 50
+    # During pose refinement (frame_step < offset) the encoder must see ALL
+    # levels: step - offset <= 0 => valid_level = n_levels (grid.h:2427).
+    g = cfg1.field.grid
+    assert int(g.valid_level(jnp.asarray(10) - cfg1.valid_level_step_offset)) == g.n_levels
