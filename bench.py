@@ -8,6 +8,7 @@ rays/batch — roughly 8 steps/s ~= 33k rays/s.  We use 33_000 rays/s as the
 reference-derived baseline; vs_baseline = ours / baseline (higher is better).
 """
 
+import argparse
 import json
 import time
 
@@ -16,22 +17,14 @@ import jax
 BASELINE_RAYS_PER_S = 33_000.0
 
 
-def main():
-    import jax.numpy as jnp
-
-    from neus2_tpu.data.synthetic import make_sphere_dataset
-    from neus2_tpu.engine.train import (
-        TrainConfig,
-        init_train_state,
-        occupancy_update,
-        train_step,
-    )
+def flagship_config():
+    from neus2_tpu.engine.train import TrainConfig
     from neus2_tpu.models.field import FieldConfig
     from neus2_tpu.ops.hashgrid import HashGridConfig
 
     # Flagship config: base.json-scale hashgrid, 4096 rays x 64 samples
     # (the reference's 2^18-sample batch geometry).
-    config = TrainConfig(
+    return TrainConfig(
         field=FieldConfig(
             grid=HashGridConfig(
                 n_levels=14,
@@ -45,12 +38,25 @@ def main():
         n_candidates=256,
         mask_loss_weight=0.1,
     )
+
+
+def _setup(config):
+    from neus2_tpu.data.synthetic import make_sphere_dataset
+    from neus2_tpu.engine.train import init_train_state, occupancy_update
+
     ds = make_sphere_dataset(n_views=16, resolution=256)
     images = ds.images_device()
     cameras = ds.cameras()
-
     state = init_train_state(jax.random.PRNGKey(0), config, n_images=16)
     state = occupancy_update(state, config)
+    return state, images, cameras
+
+
+def bench_single(n_iters=20):
+    from neus2_tpu.engine.train import train_step
+
+    config = flagship_config()
+    state, images, cameras = _setup(config)
 
     # Warmup / compile.  NOTE: under the axon tunnel block_until_ready may
     # return before remote work drains; fetching a scalar value is the only
@@ -58,14 +64,69 @@ def main():
     state, aux = train_step(state, images, cameras, config)
     _ = float(aux.loss)
 
-    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, aux = train_step(state, images, cameras, config)
     _ = float(aux.loss)
     dt = time.perf_counter() - t0
+    return config.n_rays * n_iters / dt
 
-    rays_per_s = config.n_rays * n_iters / dt
+
+def bench_scaling(n_devices, n_iters=10):
+    """Rays/s on a 1-device vs n-device mesh (same per-device ray batch:
+    weak scaling — the BASELINE >=75% 1->N efficiency target)."""
+    import dataclasses
+
+    from neus2_tpu.parallel.train import (
+        make_mesh,
+        parallel_train_step,
+        replicate_state,
+    )
+
+    devices = jax.devices()[:n_devices]
+    config = flagship_config()
+    results = {}
+    for nd in (1, len(devices)):
+        mesh = make_mesh(devices[:nd])
+        state, images, cameras = _setup(config)
+        state = replicate_state(state, mesh)
+        cfg = dataclasses.replace(config, n_rays=config.n_rays)
+        state, aux = parallel_train_step(state, images, cameras, cfg, mesh)
+        _ = float(aux.loss)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, aux = parallel_train_step(state, images, cameras, cfg, mesh)
+        _ = float(aux.loss)
+        dt = time.perf_counter() - t0
+        results[nd] = cfg.n_rays * nd * n_iters / dt
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, default=0,
+                   help="scaling mode: rays/s on 1 vs N devices")
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    if args.devices > 1:
+        res = bench_scaling(args.devices, n_iters=max(5, args.iters // 2))
+        nd = max(res)
+        eff = res[nd] / (nd * res[1]) if res[1] else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_rays_per_s_{nd}dev",
+                    "value": round(res[nd], 1),
+                    "unit": "rays/s",
+                    "vs_baseline": round(eff, 3),  # scaling efficiency 1->N
+                    "single_device": round(res[1], 1),
+                }
+            )
+        )
+        return
+
+    rays_per_s = bench_single(args.iters)
     print(
         json.dumps(
             {

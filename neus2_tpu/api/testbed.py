@@ -143,6 +143,20 @@ def config_from_json(path: str | Path) -> tuple[TrainConfig, Hyperparams]:
             beta2=float(leaf.get("beta2", 0.99)),
             epsilon=float(leaf.get("epsilon", 1e-15)),
             l2_reg=float(leaf.get("l2_reg", 1e-6)),
+            # Per-component freeze map (reference adam.h:119-180); keys use
+            # the reference component vocabulary, e.g. {"rgb_network": false}.
+            components=tuple(
+                sorted(
+                    (str(k), bool(v))
+                    for k, v in leaf.get(
+                        "optimize_params_components", {}
+                    ).items()
+                )
+            ),
+            adabound=bool(leaf.get("adabound", False)),
+            non_matrix_lr_factor=float(
+                leaf.get("non_matrix_learning_rate_factor", 1.0)
+            ),
         ),
         rgb_loss_type=loss_type,
         ek_loss_weight=hyper.ek_loss_weight,
@@ -164,6 +178,7 @@ class Testbed:
         self.config = config or TrainConfig()
         self.hyper = hyper or Hyperparams()
         self.seed = seed
+        self.mesh = None  # set by enable_multichip()
         self.state: TrainState | None = None
         self.dataset: NerfDataset | None = None
         self.images = None
@@ -178,6 +193,11 @@ class Testbed:
         self.loss_scalar = float("nan")
         self.ek_loss_scalar = float("nan")
         self.mask_loss_scalar = float("nan")
+        # Adaptive (rays, samples) bucket state (testbed_nerf.cu:3434-3435
+        # analog): bucket b trains with (n_rays*2^b, samples/2^b).
+        self.batch_bucket = 0
+        self._occ_len_ema = None
+        self._bucket_votes = 0
         self.meters = Meters()
         # Called with the finished frame index just before a dynamic frame
         # switch (per-frame eval hook; reference run_dynamic.py:183-201).
@@ -204,9 +224,34 @@ class Testbed:
             self.config = dataclasses.replace(
                 self.config, aabb_scale=self.dataset.aabb_scale
             )
+        # Occupancy cascades derive from aabb_scale: cascade k covers the
+        # box of side 2^k, so a scale-S scene needs 1 + ceil(log2(S)) grids
+        # (reference m_nerf.max_cascade from aabb_scale, testbed_nerf.cu:3293+
+        # and NERF_CASCADES=8, nerf.h:24).
+        import math
+
+        want = 1 + max(0, math.ceil(math.log2(max(1, self.config.aabb_scale))))
+        want = min(want, 8)
+        if want > self.config.occ_cascades:
+            self.config = dataclasses.replace(self.config, occ_cascades=want)
+        # Probe budget must cover the grid: the reference probes ALL
+        # 128^3*cascades cells every step for the first 256 steps
+        # (testbed_nerf.cu:4003-4016); our round-robin half sweeps the grid
+        # in n_cells/(n_probe/2) updates — size it to finish one full sweep
+        # within those 256 early updates.
+        from neus2_tpu.constants import NERF_GRIDSIZE
+
+        n_cells = self.config.occ_cascades * NERF_GRIDSIZE**3
+        need = 1 << max(0, (2 * n_cells // 256 - 1)).bit_length()
+        if need > self.config.occ_n_probe:
+            self.config = dataclasses.replace(self.config, occ_n_probe=need)
         self.state = init_train_state(
             jax.random.PRNGKey(self.seed), self.config, self.dataset.n_images
         )
+        if self.mesh is not None:
+            from neus2_tpu.parallel.train import replicate_state
+
+            self.state = replicate_state(self.state, self.mesh)
         self._frame_start_time = time.time()
 
     def _load_frame(self, idx: int, n_frames_cap=None):
@@ -216,6 +261,31 @@ class Testbed:
             self.dataset = load_dataset(self.frame_jsons[idx], n_frames_cap)
         self.images = self.dataset.images_device()
         self.cameras = self.dataset.cameras()
+        self.depths = self.dataset.depths_device()
+
+    def enable_multichip(self, devices=None) -> int:
+        """Turn on data-parallel training over all (or the given) devices.
+
+        Rays are sharded across the mesh (``config.n_rays`` stays the GLOBAL
+        batch; each chip draws n_rays/n_devices), params are replicated and
+        gradients psum over ICI (parallel/train.py — the reference is
+        single-GPU, SURVEY §2.4; this is the TPU framework's north star).
+        Returns the device count in use.
+        """
+        from neus2_tpu.parallel.train import make_mesh, replicate_state
+
+        devices = devices if devices is not None else jax.devices()
+        if len(devices) <= 1:
+            self.mesh = None
+            return 1
+        self.mesh = make_mesh(devices)
+        if self.state is not None:
+            self.state = replicate_state(self.state, self.mesh)
+        return len(devices)
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.devices.size if self.mesh is not None else 1
 
     @property
     def all_training_time_frame(self) -> int:
@@ -271,15 +341,40 @@ class Testbed:
                 state = rebuild_error_cdf(state)
 
         with self.meters.scope("training"):
-            state, aux = train_step(
-                state,
-                self.images,
-                self.cameras,
-                cfg,
-                train_canonical=self.train_canonical,
-                train_delta=self.train_delta,
-                use_delta=self.use_delta,
-            )
+            if self.mesh is not None:
+                from neus2_tpu.parallel.train import parallel_train_step
+
+                per_dev = max(1, cfg.n_rays // self.n_devices)
+                state, aux = parallel_train_step(
+                    state,
+                    self.images,
+                    self.cameras,
+                    dataclasses.replace(cfg, n_rays=per_dev),
+                    self.mesh,
+                    train_canonical=self.train_canonical,
+                    train_delta=self.train_delta,
+                    use_delta=self.use_delta,
+                    depths=(
+                        self.depths
+                        if cfg.depth_supervision_lambda > 0.0
+                        else None
+                    ),
+                )
+            else:
+                state, aux = train_step(
+                    state,
+                    self.images,
+                    self.cameras,
+                    cfg,
+                    train_canonical=self.train_canonical,
+                    train_delta=self.train_delta,
+                    use_delta=self.use_delta,
+                    depths=(
+                        self.depths
+                        if cfg.depth_supervision_lambda > 0.0
+                        else None
+                    ),
+                )
         self.state = state
         self.training_step += 1
         if self.training_step % 16 == 0 or self.training_step == 1:
@@ -287,10 +382,48 @@ class Testbed:
             self.loss_scalar = float(a.loss)
             self.ek_loss_scalar = float(a.ek_loss)
             self.mask_loss_scalar = float(a.mask_loss)
+            self._update_batch_bucket(float(a.mean_occ_len))
+
+    def _update_batch_bucket(self, occ_len: float):
+        """Adaptive (rays, samples) bucket: once the occupancy grid tightens,
+        fewer samples/ray reach the reference's marching density
+        (STEPSIZE = sqrt(3)/1024), so trade samples for rays at constant
+        sample budget (reference rays/batch auto-tune analog,
+        testbed_nerf.cu:3434-3435).  Hysteresis: 3 consecutive agreeing
+        reads before switching buckets (each bucket is its own jit cache
+        entry)."""
+        if not self.config.adaptive_batch or not self.train_canonical:
+            return
+        if not (occ_len == occ_len) or occ_len <= 0.0:
+            return
+        from neus2_tpu.constants import STEPSIZE
+
+        ema = self._occ_len_ema
+        self._occ_len_ema = occ_len if ema is None else 0.8 * ema + 0.2 * occ_len
+        s_needed = 0.75 * self._occ_len_ema / STEPSIZE
+        s0 = self.config.samples_per_ray
+        desired = 0
+        while (
+            desired < 3
+            and (s0 >> (desired + 1)) >= self.config.min_samples_per_ray
+            and (s0 >> (desired + 1)) >= s_needed
+        ):
+            desired += 1
+        if desired != self.batch_bucket:
+            self._bucket_votes += 1
+            if self._bucket_votes >= 3:
+                self.batch_bucket = desired
+                self._bucket_votes = 0
+        else:
+            self._bucket_votes = 0
 
     def _frame_config(self) -> TrainConfig:
         cfg = self.config
         changes = {}
+        if self.batch_bucket > 0 and self.train_canonical:
+            b = self.batch_bucket
+            changes["n_rays"] = cfg.n_rays << b
+            changes["samples_per_ray"] = cfg.samples_per_ray >> b
         if self.hyper.anneal_end != cfg.anneal_end:
             changes["anneal_end"] = self.hyper.anneal_end
         if self.hyper.ek_loss_weight != cfg.ek_loss_weight:
@@ -301,11 +434,17 @@ class Testbed:
             # Pure pose refinement: small ray batch (TrainConfig.delta_n_rays).
             changes["n_rays"] = min(cfg.n_rays, cfg.delta_n_rays)
         if self.current_training_time_frame > 0:
-            # Frames >= 1: rgb loss switches to L2 (testbed.cu:2038
-            # training_network_next_frame sets loss_config["otype"]="L2"),
-            # and the progressive grid unlock runs on the offset step so the
-            # pose-refinement phase sees all levels (testbed.cu:2652-2657).
-            changes["rgb_loss_type"] = "L2"
+            # Frames >= 1: the progressive grid unlock runs on the offset
+            # step so the pose-refinement phase sees all levels
+            # (testbed.cu:2652-2657).  NOTE the rgb loss intentionally stays
+            # as configured: training_network_next_frame's
+            # loss_config["otype"]="L2" (testbed.cu:2038) only rebuilds the
+            # tcnn Loss object, which the NeRF path BYPASSES
+            # (testbed.cu:2386-2389); the loss actually used,
+            # m_nerf.training.loss_type, is re-read from the unmodified
+            # embedded config at the incremental snapshot reload
+            # (testbed.cu:2383) and remains Huber.  Empirically an L2 switch
+            # also degrades pose recovery on the moving-sphere scene.
             if self.hyper.predict_global_movement:
                 changes["valid_level_step_offset"] = (
                     self.hyper.predict_global_movement_training_step

@@ -57,6 +57,13 @@ class NerfDataset:
     aabb_scale: int = 1
     from_na: bool = False
     paths: tuple[str, ...] = ()
+    # Brown-Conrady (k1, k2, p1, p2) from the json root, or None
+    # (reference nerf_loader.cu:397-425).
+    distortion: np.ndarray | None = None
+    # Per-pixel depth in ngp units ((N, H, W) float32, 0 = no data), from
+    # per-frame depth_path images scaled by integer_depth_scale * scale
+    # (reference nerf_loader.cu:91-98, 218-220, 599-607, 736).
+    depths: np.ndarray | None = None
 
     @property
     def n_images(self) -> int:
@@ -74,12 +81,24 @@ class NerfDataset:
             focal=jnp.asarray(self.focal, jnp.float32),
             principal=jnp.asarray(self.principal, jnp.float32),
             resolution=self.resolution,
+            distortion=(
+                None
+                if self.distortion is None
+                else jnp.asarray(self.distortion, jnp.float32)
+            ),
         )
 
     def images_device(self, dtype=None):
         import jax.numpy as jnp
 
         return jnp.asarray(self.images, dtype or jnp.float32)
+
+    def depths_device(self, dtype=None):
+        import jax.numpy as jnp
+
+        if self.depths is None:
+            return None
+        return jnp.asarray(self.depths, dtype or jnp.float32)
 
 
 def nerf_matrix_to_ngp(
@@ -184,10 +203,21 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         offset = np.full((3,), float(offset), np.float32)
     aabb_scale = int(meta.get("aabb_scale", 1))
 
+    # Camera distortion: Iterative (Brown-Conrady) mode when any of
+    # k1/k2/p1/p2 is present and nonzero (reference nerf_loader.cu:397-425).
+    dist = np.array(
+        [float(meta.get(k, 0.0)) for k in ("k1", "k2", "p1", "p2")], np.float32
+    )
+    distortion = dist if np.any(dist != 0.0) else None
+    # uint16 depth images scale by integer_depth_scale, then by the scene
+    # scale (reference set_training_image call, nerf_loader.cu:736).
+    depth_scale = float(meta.get("integer_depth_scale", -1.0))
+
     frames = meta["frames"]
     if n_frames_cap is not None:
         frames = frames[:n_frames_cap]
-    images, poses, focals, principals, paths = [], [], [], [], []
+    images, poses, focals, principals, paths, depth_list = [], [], [], [], [], []
+    any_depth = False
     for frame in frames:
         fp = frame["file_path"]
         p = basepath / fp
@@ -204,10 +234,24 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         focals.append((fx, fy))
         principals.append((cx, cy))
         paths.append(str(p))
+        d = None
+        if depth_scale > 0.0 and "depth_path" in frame:
+            d = _load_depth(basepath / frame["depth_path"], depth_scale * scale)
+            any_depth = True
+        depth_list.append(d)
 
     shapes = {im.shape for im in images}
     if len(shapes) != 1:
         raise ValueError(f"mixed image resolutions not supported yet: {shapes}")
+    depths = None
+    if any_depth:
+        h, w = images[0].shape[:2]
+        depths = np.stack(
+            [
+                d if d is not None else np.zeros((h, w), np.float32)
+                for d in depth_list
+            ]
+        )
     return NerfDataset(
         images=np.stack(images),
         poses=np.stack(poses),
@@ -218,7 +262,24 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         aabb_scale=aabb_scale,
         from_na=from_na,
         paths=tuple(paths),
+        distortion=distortion,
+        depths=depths,
     )
+
+
+def _load_depth(path: Path, scale: float) -> np.ndarray:
+    """Load a depth image -> (H, W) float32 in ngp units; 0 = missing.
+
+    Pixels (uint16 or float) scale by ``integer_depth_scale * scene_scale``,
+    matching the reference's copy_depth kernel which applies the same factor
+    to both depth dtypes (nerf_loader.cu:91-98, 736).
+    """
+    import imageio.v2 as imageio
+
+    d = np.asarray(imageio.imread(str(path)))
+    if d.ndim == 3:
+        d = d[..., 0]
+    return (d.astype(np.float32) * scale).astype(np.float32)
 
 
 def list_frame_jsons(scene_path: str | os.PathLike) -> list[Path]:

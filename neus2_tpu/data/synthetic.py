@@ -65,10 +65,38 @@ def make_sphere_dataset(
     ``center`` moves the object (cameras stay aimed at the scene center
     (0.5)^3) — used by the dynamic moving-sphere scene.
     """
-    rng = np.random.default_rng(seed)
     obj_center = SPHERE_CENTER if center is None else np.asarray(center, np.float32)
+    return make_multi_sphere_dataset(
+        spheres=[(obj_center, SPHERE_RADIUS)],
+        n_views=n_views,
+        resolution=resolution,
+        cam_distance=cam_distance,
+        fov_deg=fov_deg,
+        seed=seed,
+        aabb_scale=1,
+    )
+
+
+def make_multi_sphere_dataset(
+    spheres: list[tuple[np.ndarray, float]],
+    n_views: int = 16,
+    resolution: int = 64,
+    cam_distance: float = 1.2,
+    fov_deg: float = 45.0,
+    seed: int = 0,
+    aabb_scale: int = 1,
+) -> NerfDataset:
+    """Analytic scene of N shaded spheres (nearest-hit compositing).
+
+    With ``aabb_scale > 1`` spheres may live outside the unit cube — the
+    scene used to validate multi-cascade occupancy (reference derives
+    cascades from aabb_scale, src/testbed_nerf.cu:3293+, nerf.h:24).
+    """
+    rng = np.random.default_rng(seed)
     w = h = resolution
     focal = 0.5 * w / np.tan(0.5 * np.deg2rad(fov_deg))
+    centers = np.stack([np.asarray(c, np.float32) for c, _ in spheres])
+    radii = np.array([r for _, r in spheres], np.float32)
 
     poses, images = [], []
     for k in range(n_views):
@@ -93,11 +121,20 @@ def make_sphere_dataset(
         dirs = dir_cam @ pose[:, :3].T
         dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
         o = np.broadcast_to(pose[:, 3], dirs.shape)
-        hit, t = ray_sphere(o, dirs, obj_center, SPHERE_RADIUS)
-        p = o + t[..., None] * dirs
-        normal = (p - obj_center) / SPHERE_RADIUS
-        rgb = shade_sphere(normal)
-        alpha = hit.astype(np.float32)[..., None]
+
+        best_t = np.full(dirs.shape[:-1], np.inf, np.float32)
+        best_n = np.zeros_like(dirs)
+        any_hit = np.zeros(dirs.shape[:-1], bool)
+        for c, r in zip(centers, radii):
+            hit, t = ray_sphere(o, dirs, c, r)
+            closer = hit & (t < best_t)
+            best_t = np.where(closer, t, best_t)
+            p = o + t[..., None] * dirs
+            n_s = (p - c) / r
+            best_n = np.where(closer[..., None], n_s, best_n)
+            any_hit |= hit
+        rgb = shade_sphere(best_n)
+        alpha = any_hit.astype(np.float32)[..., None]
         images.append(
             np.concatenate([rgb * alpha, alpha], axis=-1).astype(np.float32)
         )
@@ -110,7 +147,7 @@ def make_sphere_dataset(
         principal=np.full((n, 2), 0.5, np.float32),
         scale=1.0,
         offset=(0.5, 0.5, 0.5),
-        aabb_scale=1,
+        aabb_scale=aabb_scale,
         from_na=True,
         paths=(),
     )

@@ -16,16 +16,72 @@ import jax.numpy as jnp
 
 
 class Cameras(NamedTuple):
-    """Per-image pinhole cameras (N images)."""
+    """Per-image pinhole cameras (N images), optionally lens-distorted."""
 
     poses: jnp.ndarray  # (N, 3, 4) camera-to-world
     focal: jnp.ndarray  # (N, 2) fx, fy in pixels
     principal: jnp.ndarray  # (N, 2) cx, cy relative to resolution ([0,1])
     resolution: tuple[int, int]  # (W, H), static
+    # Brown-Conrady lens distortion (k1, k2, p1, p2), shared by all images
+    # as in the reference (parsed from the json root, nerf_loader.cu:397-425);
+    # None = pinhole.
+    distortion: jnp.ndarray | None = None
 
     @property
     def n_images(self) -> int:
         return self.poses.shape[0]
+
+
+def apply_camera_distortion(
+    params: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Brown-Conrady forward distortion deltas (du, dv)
+    (reference apply_camera_distortion, common_device.cuh:142-159)."""
+    k1, k2, p1, p2 = params[0], params[1], params[2], params[3]
+    u2, v2, uv = u * u, v * v, u * v
+    r2 = u2 + v2
+    radial = k1 * r2 + k2 * r2 * r2
+    du = u * radial + 2.0 * p1 * uv + p2 * (r2 + 2.0 * u2)
+    dv = v * radial + 2.0 * p2 * uv + p1 * (r2 + 2.0 * v2)
+    return du, dv
+
+
+def iterative_undistortion(
+    params: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, n_iters: int = 8
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Invert the distortion by Newton iteration, vectorized over the batch.
+
+    The reference runs up to 100 iterations with a numerically-differentiated
+    Jacobian and an early exit (iterative_camera_undistortion,
+    common_device.cuh:162-201); with the ANALYTIC Jacobian of the
+    Brown-Conrady model a fixed 8 iterations reaches f32 roundoff for any
+    realistic distortion — fixed trip count keeps the whole thing jittable.
+    """
+    k1, k2, p1, p2 = params[0], params[1], params[2], params[3]
+    x0, y0 = u, v
+
+    def body(_, xy):
+        x, y = xy
+        x2, y2, xy_ = x * x, y * y, x * y
+        r2 = x2 + y2
+        radial = k1 * r2 + k2 * r2 * r2
+        dradial_dr2 = k1 + 2.0 * k2 * r2
+        # Residual F = distort(x, y) - (x0, y0)
+        fx = x + x * radial + 2.0 * p1 * xy_ + p2 * (r2 + 2.0 * x2) - x0
+        fy = y + y * radial + 2.0 * p2 * xy_ + p1 * (r2 + 2.0 * y2) - y0
+        # Analytic Jacobian of the distorted coords wrt (x, y).
+        j00 = 1.0 + radial + x * dradial_dr2 * 2.0 * x + 2.0 * p1 * y + 6.0 * p2 * x
+        j01 = x * dradial_dr2 * 2.0 * y + 2.0 * p1 * x + 2.0 * p2 * y
+        j10 = y * dradial_dr2 * 2.0 * x + 2.0 * p2 * y + 2.0 * p1 * x
+        j11 = 1.0 + radial + y * dradial_dr2 * 2.0 * y + 2.0 * p2 * x + 6.0 * p1 * y
+        det = j00 * j11 - j01 * j10
+        det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        nx = x - (j11 * fx - j01 * fy) / det
+        ny = y - (-j10 * fx + j00 * fy) / det
+        return nx, ny
+
+    x, y = jax.lax.fori_loop(0, n_iters, body, (u, v))
+    return x, y
 
 
 def pixel_to_ray(
@@ -41,6 +97,13 @@ def pixel_to_ray(
     w, h = cameras.resolution
     res = jnp.array([w, h], jnp.float32)
     xy = (uv - principal) * res / focal
+    if cameras.distortion is not None:
+        # Undistort in normalized camera coords before building the ray
+        # (reference pixel_to_ray, common_device.cuh:246-283).
+        x, y = iterative_undistortion(
+            cameras.distortion, xy[..., 0], xy[..., 1]
+        )
+        xy = jnp.stack([x, y], axis=-1)
     dir_cam = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
     direction = jnp.einsum("bij,bj->bi", poses[..., :3], dir_cam)
     direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)

@@ -71,9 +71,15 @@ class TrainConfig:
     field: FieldConfig = FieldConfig()
     optim: OptimConfig = OptimConfig()
     # Batch geometry: n_rays * samples_per_ray = total sample budget
-    # (reference: 2^18 samples, rays auto-tuned from 4096; we fix both).
+    # (reference: 2^18 samples, rays auto-tuned from 4096).  With
+    # ``adaptive_batch`` the Testbed switches between precompiled
+    # (n_rays*2^b, samples_per_ray/2^b) buckets once the occupancy grid
+    # converges — the fixed-shape analog of the reference's rays/batch
+    # auto-tuning so compacted samples ~ batch (testbed_nerf.cu:3434-3435).
     n_rays: int = 4096
     samples_per_ray: int = 64
+    adaptive_batch: bool = True
+    min_samples_per_ray: int = 16
     n_candidates: int = 192  # coarse occupancy-probe intervals per ray
     aabb_scale: int = 1
     near: float = 0.0
@@ -105,6 +111,10 @@ class TrainConfig:
     optimize_extrinsics: bool = False
     optimize_exposure: bool = False
     cam_lr: float = 1e-4
+    # Per-ray random max-level masking of the hash grid: max_level =
+    # U[0,1)*2 per ray so ~50% of rays train at full level (reference
+    # m_max_level_rand_training, testbed_nerf.cu:1315, grid.h:217-240).
+    max_level_rand_training: bool = False
     # Depth supervision (reference depth_supervision_lambda).
     depth_supervision_lambda: float = 0.0
     # Learnable background environment map + lens distortion grid.
@@ -145,6 +155,10 @@ class StepAux(NamedTuple):
     mask_loss: jnp.ndarray
     n_valid_samples: jnp.ndarray
     psnr_proxy: jnp.ndarray
+    # Mean occupied ray length (over hitting rays) — drives the adaptive
+    # (rays, samples) bucket choice, the fixed-shape analog of the
+    # reference's rays/batch auto-tuning (testbed_nerf.cu:3434-3435).
+    mean_occ_len: jnp.ndarray = jnp.zeros(())
 
 
 class StepExtras(NamedTuple):
@@ -307,9 +321,16 @@ def _forward_loss(
     if config.field.latent_dim > 0:
         latent = cam["latent"][img_idx][:, None, :].repeat(S, 1)
         latent = flat(latent)
+    max_level = None
+    if config.max_level_rand_training:
+        # Per-ray max_level = U[0,1)*2: ~50% of rays at full level
+        # (testbed_nerf.cu:1315).
+        k_ml = jax.random.fold_in(k_march, 7)
+        ml_ray = jax.random.uniform(k_ml, (R,)) * 2.0
+        max_level = flat(ml_ray[:, None].repeat(S, 1))
     out = field_forward(
         params, flat(pos_w), flat(dir_w), config.field, valid_level=unlock,
-        latent=latent,
+        max_level=max_level, latent=latent,
     )
     rgb_s = out.rgb.reshape(R, S, 3)
     sdf_s = out.sdf.reshape(R, S)
@@ -386,6 +407,8 @@ def _forward_loss(
         + config.depth_supervision_lambda * depth_loss
     )
     mse = jnp.sum(jnp.mean((pred - target) ** 2, -1) * ray_w) / n_live
+    hit_ray = mask.any(axis=-1)
+    total_len = jnp.sum(dt, axis=-1) * hit_ray  # dt is total/budget per ray
     aux = StepAux(
         loss=total,
         rgb_loss=rgb_loss,
@@ -393,6 +416,8 @@ def _forward_loss(
         mask_loss=mask_loss,
         n_valid_samples=jnp.sum(mask).astype(jnp.int32),
         psnr_proxy=-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
+        mean_occ_len=jnp.sum(total_len)
+        / jnp.maximum(jnp.sum(hit_ray.astype(jnp.float32)), 1.0),
     )
     extras = StepExtras(
         img_idx=img_idx, uv=uv, ray_loss=jax.lax.stop_gradient(rgb_l * ray_w)

@@ -147,8 +147,9 @@ def freeze_grid_into_base(params: Params) -> Params:
 
 def _raw_sdf_mlp(params: Params, sdf_mlp: Params, x: jnp.ndarray, config: FieldConfig,
                  valid_level, max_level) -> jnp.ndarray:
-    del max_level  # per-sample max-level masking: optional extension
-    enc, _ = _encoder(config.grid)(effective_grid_tables(params), x, valid_level)
+    enc, _ = _encoder(config.grid)(
+        effective_grid_tables(params), x, valid_level, max_level
+    )
     inp = jnp.concatenate([x, enc], axis=-1)
     return apply_mlp(sdf_mlp, inp)
 
@@ -219,8 +220,9 @@ def sdf_normal_features(
     Only the tiny SDF MLP is linearized (forward-mode), which is cheap and
     twice-differentiable.
     """
-    del max_level
-    enc, jac = _encoder(config.grid)(effective_grid_tables(params), x, valid_level)
+    enc, jac = _encoder(config.grid)(
+        effective_grid_tables(params), x, valid_level, max_level
+    )
     inp = jnp.concatenate([x, enc], axis=-1)
 
     out, f_lin = jax.linearize(

@@ -98,27 +98,41 @@ def _level_indices(pos_grid, config: HashGridConfig, lvl, resolutions, sizes, us
 
 
 def make_encode_jac(config: HashGridConfig):
-    """Returns encode_jac(tables, positions, valid_level) -> (feat, jac).
+    """Returns encode_jac(tables, positions, valid_level, max_level) ->
+    (feat, jac).
 
     feat (N, L*F); jac (N, 3, L*F) = d feat / d positions.
     ``valid_level``: traced scalar; level l outputs zeros when l > valid_level
-    (grid.h:198 progressive unlock).  The function has a custom VJP: one
+    (grid.h:198 progressive unlock).  ``max_level``: optional per-sample (N,)
+    fraction in [0,1]; level l is zeroed for samples with
+    l >= max_level * n_levels (the reference's m_max_level_rand_training
+    per-sample masking, grid.h:217-240).  The function has a custom VJP: one
     gather per level in fwd, one scatter-add per level in bwd.
     """
     L = config.n_levels
     F = config.n_features_per_level
     resolutions, scales, _, sizes, use_hash = config.level_tables()
 
-    def _fwd_compute(tables, positions, valid_level):
+    def _level_gate(l, valid_level, max_level, dtype, n):
+        gate = jnp.broadcast_to(
+            (l <= valid_level).astype(dtype), (n, 1)
+        )
+        if max_level is not None:
+            per_sample = (l < max_level * L + 1e-3).astype(dtype)
+            gate = gate * per_sample[:, None]
+        return gate  # (N, 1)
+
+    def _fwd_compute(tables, positions, valid_level, max_level):
         feats, jacs, residuals = [], [], []
+        n = positions.shape[0]
         for l in range(L):
             pos_grid, frac = _level_geometry(positions, scales[l])
             idx = _level_indices(pos_grid, config, l, resolutions, sizes, use_hash)
             vals = jnp.take(tables[l], idx, axis=0)  # (N,8,F)
             w, dw, _, _ = _weights_and_grads(frac, scales[l])
-            gate = (l <= valid_level).astype(positions.dtype)
+            gate = _level_gate(l, valid_level, max_level, positions.dtype, n)
             feat = jnp.einsum("nc,ncf->nf", w, vals) * gate
-            jac = jnp.einsum("ncj,ncf->njf", dw, vals) * gate
+            jac = jnp.einsum("ncj,ncf->njf", dw, vals) * gate[:, None, :]
             feats.append(feat)
             jacs.append(jac)
             residuals.append((idx, vals, frac, gate))
@@ -128,29 +142,29 @@ def make_encode_jac(config: HashGridConfig):
             residuals,
         )
 
-    def encode_jac(tables, positions, valid_level=jnp.asarray(10**9)):
-        feat, jac, _ = _fwd_compute(tables, positions, valid_level)
+    def encode_jac(tables, positions, valid_level=jnp.asarray(10**9), max_level=None):
+        feat, jac, _ = _fwd_compute(tables, positions, valid_level, max_level)
         return feat, jac
 
     @jax.custom_vjp
-    def _encode(tables, positions, valid_level):
-        feat, jac, _ = _fwd_compute(tables, positions, valid_level)
+    def _encode(tables, positions, valid_level, max_level):
+        feat, jac, _ = _fwd_compute(tables, positions, valid_level, max_level)
         return feat, jac
 
-    def _encode_fwd(tables, positions, valid_level):
-        feat, jac, residuals = _fwd_compute(tables, positions, valid_level)
-        return (feat, jac), (residuals, [t.shape[0] for t in tables])
+    def _encode_fwd(tables, positions, valid_level, max_level):
+        feat, jac, residuals = _fwd_compute(tables, positions, valid_level, max_level)
+        return (feat, jac), (residuals, [t.shape[0] for t in tables], max_level)
 
     def _encode_bwd(res, cts):
-        residuals, table_rows = res
+        residuals, table_rows, max_level = res
         ct_feat, ct_jac = cts  # (N, L*F), (N, 3, L*F)
         d_tables = []
         d_x = 0.0
         for l in range(L):
-            idx, vals, frac, gate = residuals[l]
+            idx, vals, frac, gate = residuals[l]  # gate (N,1)
             w, dw, terms, signs = _weights_and_grads(frac, scales[l])
             ctf = ct_feat[:, l * F : (l + 1) * F] * gate  # (N,F)
-            ctj = ct_jac[:, :, l * F : (l + 1) * F] * gate  # (N,3,F)
+            ctj = ct_jac[:, :, l * F : (l + 1) * F] * gate[:, None, :]  # (N,3,F)
 
             # --- d table: from both feat and jac outputs (grid.h:372, 881) ---
             upd = (
@@ -190,13 +204,18 @@ def make_encode_jac(config: HashGridConfig):
             d_x = d_x + jnp.stack(
                 [dx0.sum(1), dx1.sum(1), dx2.sum(1)], axis=-1
             )
-        return tuple(d_tables), d_x, None
+        return (
+            tuple(d_tables),
+            d_x,
+            None,
+            jax.tree_util.tree_map(jnp.zeros_like, max_level),
+        )
 
     _encode.defvjp(_encode_fwd, _encode_bwd)
 
-    def fast(tables, positions, valid_level=None):
+    def fast(tables, positions, valid_level=None, max_level=None):
         vl = jnp.asarray(10**9 if valid_level is None else valid_level)
-        return _encode(tuple(tables), positions, vl)
+        return _encode(tuple(tables), positions, vl, max_level)
 
     return fast
 

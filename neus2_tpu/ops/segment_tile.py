@@ -145,8 +145,8 @@ def sorted_segment_sum_tiles(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (f_pad, row_block), lambda j, e0_ref: (0, j), memory_space=pltpu.VMEM

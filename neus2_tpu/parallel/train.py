@@ -68,6 +68,7 @@ def parallel_train_step(
     train_canonical: bool = True,
     train_delta: bool = False,
     use_delta: bool = False,
+    depths: jnp.ndarray | None = None,
 ):
     """One data-parallel step; state replicated, rays sharded by device.
 
@@ -87,7 +88,7 @@ def parallel_train_step(
         or config.field.latent_dim > 0
     )
 
-    def device_grads(diff, state_, images_, cameras_, key_):
+    def device_grads(diff, state_, images_, cameras_, key_, depths_):
         key_ = jax.random.fold_in(key_, jax.lax.axis_index("data"))
         grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
         (_, (aux, extras)), grads = grad_fn(
@@ -98,6 +99,7 @@ def parallel_train_step(
             key_,
             config,
             use_delta or train_delta,
+            depths_,
         )
         # Gradient all-reduce over ICI; XLA overlaps this with backward.
         grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, "data"), grads)
@@ -117,12 +119,12 @@ def parallel_train_step(
     sharded = jax.shard_map(
         device_grads,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P("data")),
         check_vma=False,
     )
     grads, aux, extras = sharded(
-        diff, state, images, cameras, k_step
+        diff, state, images, cameras, k_step, depths
     )
 
     new_params, new_opt = state.params, state.opt_state

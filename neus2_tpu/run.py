@@ -46,9 +46,15 @@ def parse_args(argv=None):
     p.add_argument("--eval_spp", type=int, default=8)
     p.add_argument("--n_rays", type=int, default=None)
     p.add_argument("--samples_per_ray", type=int, default=None)
+    p.add_argument("--depth_supervision_lambda", type=float, default=None,
+                   help="L2 depth-supervision weight; depth maps load from "
+                        "per-frame depth_path + integer_depth_scale")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--no_train", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--multichip", choices=("auto", "on", "off"), default="auto",
+                   help="data-parallel training over all devices (auto: on "
+                        "when more than one device is visible)")
     return p.parse_args(argv)
 
 
@@ -89,12 +95,20 @@ def main(argv=None):
         changes["n_rays"] = args.n_rays
     if args.samples_per_ray:
         changes["samples_per_ray"] = args.samples_per_ray
+    if args.depth_supervision_lambda is not None:
+        changes["depth_supervision_lambda"] = args.depth_supervision_lambda
     if changes:
         config = dataclasses.replace(config, **changes)
     if args.n_steps:
         hyper.first_frame_max_training_step = args.n_steps
 
     tb = Testbed(config=config, hyper=hyper, seed=args.seed)
+    if args.multichip == "on" or (
+        args.multichip == "auto" and len(jax.devices()) > 1
+    ):
+        n = tb.enable_multichip()
+        log(f"multichip: data-parallel over {n} devices "
+            f"({config.n_rays} rays/batch global)")
     log(f"loading scene {args.scene}")
     try:
         tb.load_training_data(args.scene)

@@ -38,6 +38,27 @@ class OptimConfig:
     decay_interval: int = 10000
     decay_base: float = 0.33
     ema_decay: float = 0.95
+    # Per-component freeze map from the config's optimize_params_components
+    # (reference adam.h:119-180 n_weights_optimize): tuple of (component
+    # name, trainable) pairs; components absent default to trainable.
+    # Component names use the reference vocabulary (density_network,
+    # rgb_network, variance_network, pos_encoding, dir_encoding).
+    components: tuple = ()
+    # AdaBound lr clamping (reference adam.h:285-290, off by default).
+    adabound: bool = False
+    # Reference m_non_matrix_learning_rate_factor (adam.h:143-146).
+    non_matrix_lr_factor: float = 1.0
+
+
+# Pytree top-level key -> reference component name (layout order
+# nerf_network.h n_params_components / initialize_params 741-785).
+_COMPONENT_OF_KEY = {
+    "sdf_mlp": "density_network",
+    "rgb_mlp": "rgb_network",
+    "variance": "variance_network",
+    "hashgrid": "pos_encoding",
+    "hashgrid_base": "pos_encoding",
+}
 
 
 def exp_decay_schedule(config: OptimConfig):
@@ -62,40 +83,119 @@ def exp_decay_schedule(config: OptimConfig):
     return schedule_fixed
 
 
-def _is_matrix_param(path: tuple, leaf) -> bool:
+def _path_keys(path: tuple) -> list:
+    return [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+
+
+def _is_matrix_param(path: tuple, leaf=None) -> bool:
     """MLP weight matrices get L2 reg; tables/biases/scalars do not."""
-    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-    return "w" in keys
+    return "w" in _path_keys(path)
+
+
+def _component_trainable(path: tuple, config: OptimConfig) -> bool:
+    """optimize_params_components gate for the leaf at ``path``."""
+    if not config.components:
+        return True
+    keys = _path_keys(path)
+    top = keys[0] if keys else None
+    name = _COMPONENT_OF_KEY.get(top, top)
+    return dict(config.components).get(name, True)
+
+
+def neus2_adam(config: OptimConfig) -> optax.GradientTransformation:
+    """The reference's modified Adam as one optax transformation
+    (my_tcnn adam.h:52-160 adam_step), producing the full update
+    (new_w - w) including the lr schedule:
+
+      * L2 reg only on matrix (MLP weight) params (adam.h:132-135);
+      * NON-matrix params (hash tables, biases, variance) skip steps whose
+        gradient is exactly zero — no moment decay, no step count ("lazy"
+        sparse Adam, adam.h:109-112) — with PER-PARAM step counters for
+        debiasing (adam.h:148-150);
+      * tcnn debias form: lr *= sqrt(1-b2^t)/(1-b1^t), then
+        w -= clamp(lr / (sqrt(v)+eps), bounds) * m;
+      * optional AdaBound clamping of the per-param rate (adam.h:285-290);
+      * per-component freezing via optimize_params_components
+        (adam.h:119-180);
+      * non_matrix_learning_rate_factor (adam.h:143-146).
+    """
+    schedule = exp_decay_schedule(config)
+
+    def init(params):
+        zeros = lambda p: jax.tree_util.tree_map(jnp.zeros_like, p)
+        steps = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(jnp.shape(p), jnp.int32), params
+        )
+        return {
+            "mu": zeros(params),
+            "nu": zeros(params),
+            "steps": steps,
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(updates, state, params=None):
+        assert params is not None, "neus2_adam requires params"
+        count = state["count"] + 1
+        lr = schedule(count)
+        if config.adabound:
+            t = count.astype(jnp.float32)
+            lower = 0.1 - 0.1 / ((1.0 - config.beta2) * t + 1.0)
+            upper = 0.1 + 0.1 / ((1.0 - config.beta2) * t)
+        else:
+            lower, upper = 0.0, jnp.inf
+
+        def leaf(path, g, p, mu, nu, steps):
+            if not _component_trainable(path, config):
+                return jnp.zeros_like(p), mu, nu, steps
+            is_matrix = _is_matrix_param(path)
+            if is_matrix:
+                g = g + config.l2_reg * p
+                active = jnp.ones(jnp.shape(g), bool)
+                leaf_lr = lr
+            else:
+                # Lazy non-matrix updates: zero gradient => untouched.
+                active = g != 0.0
+                leaf_lr = lr * config.non_matrix_lr_factor
+            new_mu = jnp.where(
+                active, config.beta1 * mu + (1 - config.beta1) * g, mu
+            )
+            new_nu = jnp.where(
+                active, config.beta2 * nu + (1 - config.beta2) * g * g, nu
+            )
+            new_steps = steps + active.astype(jnp.int32)
+            t = jnp.maximum(new_steps, 1).astype(jnp.float32)
+            debias = jnp.sqrt(1.0 - config.beta2**t) / (1.0 - config.beta1**t)
+            eff = jnp.clip(
+                leaf_lr * debias / (jnp.sqrt(new_nu) + config.epsilon),
+                lower,
+                upper,
+            )
+            delta = jnp.where(active, -eff * new_mu, 0.0)
+            return delta, new_mu, new_nu, new_steps
+
+        flat_g = jax.tree_util.tree_flatten_with_path(updates)
+        paths = [p for p, _ in flat_g[0]]
+        gs = [g for _, g in flat_g[0]]
+        treedef = flat_g[1]
+        ps = jax.tree_util.tree_leaves(params)
+        mus = jax.tree_util.tree_leaves(state["mu"])
+        nus = jax.tree_util.tree_leaves(state["nu"])
+        sts = jax.tree_util.tree_leaves(state["steps"])
+        out = [leaf(*args) for args in zip(paths, gs, ps, mus, nus, sts)]
+        unflat = lambda xs: jax.tree_util.tree_unflatten(treedef, xs)
+        new_state = {
+            "mu": unflat([o[1] for o in out]),
+            "nu": unflat([o[2] for o in out]),
+            "steps": unflat([o[3] for o in out]),
+            "count": count,
+        }
+        return unflat([o[0] for o in out]), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(config: OptimConfig) -> optax.GradientTransformation:
-    schedule = exp_decay_schedule(config)
-    adam = optax.scale_by_adam(
-        b1=config.beta1, b2=config.beta2, eps=config.epsilon
-    )
-
-    def add_l2(updates, state, params=None):
-        if params is None:
-            return updates, state
-        flat_u = jax.tree_util.tree_flatten_with_path(updates)[0]
-        del flat_u
-
-        def leaf(path, u, p):
-            if _is_matrix_param(path, p):
-                return u + config.l2_reg * p
-            return u
-
-        new_updates = jax.tree_util.tree_map_with_path(
-            lambda path, u, p: leaf(path, u, p), updates, params
-        )
-        return new_updates, state
-
-    l2 = optax.GradientTransformation(lambda params: optax.EmptyState(), add_l2)
-    return optax.chain(
-        l2,
-        adam,
-        optax.scale_by_learning_rate(schedule),
-    )
+    return neus2_adam(config)
 
 
 def ema_update(ema_params: Any, params: Any, decay: float) -> Any:

@@ -1,0 +1,146 @@
+"""Multi-cascade occupancy: aabb_scale > 1 scenes can occupy (and train)
+space outside the unit cube (reference derives cascades from aabb_scale,
+src/testbed_nerf.cu:3293+; cascade geometry nerf.h:24 / common_device.cuh)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neus2_tpu.api.testbed import Hyperparams, Testbed
+from neus2_tpu.data.synthetic import make_multi_sphere_dataset
+from neus2_tpu.engine import occupancy as occ
+from neus2_tpu.engine.train import TrainConfig
+from neus2_tpu.models.field import FieldConfig, sdf_fn
+from neus2_tpu.ops.hashgrid import HashGridConfig
+from neus2_tpu.ops.warp import scene_aabb, warp_position
+
+OUTER_CENTER = np.array([1.3, 0.5, 0.5], np.float32)
+OUTER_RADIUS = 0.2
+
+
+def test_mip_from_pos():
+    pos = jnp.array(
+        [
+            [0.5, 0.5, 0.5],  # center -> cascade 0
+            [0.9, 0.5, 0.5],  # inside unit cube -> 0
+            [1.3, 0.5, 0.5],  # |x-0.5|=0.8 -> cascade 1 (box side 2)
+            [2.2, 0.5, 0.5],  # |x-0.5|=1.7 -> cascade 2 (box side 4)
+        ]
+    )
+    mips = occ.mip_from_pos(pos, max_cascade=3)
+    np.testing.assert_array_equal(np.asarray(mips), [0, 0, 1, 2])
+
+
+def test_multicascade_occupancy_at():
+    grid = occ.init_occupancy(n_cascades=3)
+    g = grid.grid_size
+    # Mark the cell containing (1.4, 0.5, 0.5) in cascade 1 occupied.
+    pos = jnp.array([[1.4, 0.5, 0.5]])
+    rel = (pos - 0.5) * 0.5 + 0.5
+    cell = jnp.floor(rel * g).astype(int)[0]
+    bits = grid.bitfield.at[1, cell[2], cell[1], cell[0]].set(True)
+    grid = grid._replace(bitfield=bits)
+    assert bool(occ.occupancy_at(grid, pos)[0])
+    assert not bool(occ.occupancy_at(grid, jnp.array([[1.4, 0.5, 0.9]]))[0])
+    # A position outside every cascade box is never occupied.
+    assert not bool(occ.occupancy_at(grid, jnp.array([[9.0, 0.5, 0.5]]))[0])
+
+
+def test_maxpool_inheritance():
+    """Coarser cascades inherit finer occupancy in their central half."""
+    grid = occ.init_occupancy(n_cascades=2)
+    g = grid.grid_size
+    density = grid.density.at[0, g // 2, g // 2, g // 2].set(1.0)
+    grid = occ.update_bitfield(grid._replace(density=density))
+    # The same world position must read occupied through cascade 1 lookup too.
+    pos = jnp.array([[0.5 + 0.5 / g, 0.5 + 0.5 / g, 0.5 + 0.5 / g]])
+    rel = (pos - 0.5) * 0.5 + 0.5
+    cell = jnp.floor(rel * g).astype(int)[0]
+    assert bool(grid.bitfield[1, cell[2], cell[1], cell[0]])
+
+
+def test_testbed_derives_cascades():
+    ds = make_multi_sphere_dataset(
+        spheres=[(np.array([0.5, 0.5, 0.5], np.float32), 0.25)],
+        n_views=4,
+        resolution=24,
+        aabb_scale=4,
+    )
+    tb = Testbed(config=_tiny_cfg())
+    tb.load_training_data_from_datasets([ds])
+    assert tb.config.aabb_scale == 4
+    assert tb.config.occ_cascades == 3
+    assert tb.state.occupancy.n_cascades == 3
+
+
+def _tiny_cfg(**kw):
+    return TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(
+                n_levels=6, log2_hashmap_size=14, base_resolution=16,
+                per_level_scale=1.45,
+            ),
+            sdf_hidden_dim=32,
+            rgb_hidden_dim=32,
+        ),
+        n_rays=512,
+        samples_per_ray=48,
+        n_candidates=128,
+        ek_loss_weight=0.1,
+        mask_loss_weight=0.1,
+        occ_n_probe=1 << 13,
+        **kw,
+    )
+
+
+@pytest.mark.slow
+def test_aabb_scale4_scene_trains():
+    """An aabb_scale=4 scene with a sphere OUTSIDE the unit cube converges:
+    round-1 gap — single-cascade occupancy culled everything outside [0,1]^3
+    so the outer geometry could never train (VERDICT.md round 1)."""
+    ds = make_multi_sphere_dataset(
+        spheres=[
+            (np.array([0.5, 0.5, 0.5], np.float32), 0.25),
+            (OUTER_CENTER, OUTER_RADIUS),
+        ],
+        n_views=14,
+        resolution=48,
+        cam_distance=2.6,
+        aabb_scale=4,
+    )
+    tb = Testbed(
+        config=_tiny_cfg(),
+        hyper=Hyperparams(first_frame_max_training_step=900),
+    )
+    tb.load_training_data_from_datasets([ds])
+    while tb.frame():
+        pass
+
+    # The outer sphere's region must be occupied (trainable).
+    theta_s = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    surf = OUTER_CENTER + 0.9 * OUTER_RADIUS * np.stack(
+        [np.cos(theta_s), np.zeros_like(theta_s), np.sin(theta_s)], -1
+    ).astype(np.float32)
+    occ_hits = occ.occupancy_at(tb.state.occupancy, jnp.asarray(surf))
+    frac = float(jnp.mean(occ_hits.astype(jnp.float32)))
+    assert frac > 0.5, f"outer-sphere region mostly unoccupied ({frac:.2f})"
+
+    # And its SDF must have moved toward the true surface.
+    theta = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    pts = OUTER_CENTER + OUTER_RADIUS * np.stack(
+        [np.cos(theta), np.sin(theta), np.zeros_like(theta)], -1
+    )
+    aabb = scene_aabb(tb.config.aabb_scale)
+    sdf, _ = sdf_fn(
+        tb.state.ema_params,
+        warp_position(jnp.asarray(pts, jnp.float32), aabb),
+        tb.config.field,
+    )
+    err = float(jnp.mean(jnp.abs(sdf)))
+    # Warped units: the geometric init leaves |sdf| ~ 0.3 here; converging
+    # well below the sphere's own warped radius (0.05) demonstrates the
+    # outer geometry actually trained.
+    assert err < 0.04, f"outer sphere SDF error {err}"

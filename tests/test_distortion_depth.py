@@ -1,0 +1,153 @@
+"""Loader parity round 2: camera distortion + depth maps (VERDICT items).
+
+Reference contract: k1/k2/p1/p2 parsed from the json root and applied by
+iterative undistortion in ray generation (nerf_loader.cu:397-425,
+common_device.cuh:142-283); uint16 depth images scaled by
+integer_depth_scale * scene_scale feed the depth-supervision loss
+(nerf_loader.cu:91-98, 599-607, 736)."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neus2_tpu.engine.rays import (
+    Cameras,
+    apply_camera_distortion,
+    iterative_undistortion,
+    pixel_to_ray,
+)
+
+PARAMS = jnp.array([-0.12, 0.03, 0.004, -0.002], jnp.float32)
+
+
+def test_undistortion_inverts_distortion():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-0.6, 0.6, 256), jnp.float32)
+    y = jnp.asarray(rng.uniform(-0.6, 0.6, 256), jnp.float32)
+    du, dv = apply_camera_distortion(PARAMS, x, y)
+    xu, yu = iterative_undistortion(PARAMS, x + du, y + dv)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(y), atol=1e-5)
+
+
+def test_zero_distortion_identity():
+    z = jnp.zeros(4)
+    x = jnp.linspace(-0.5, 0.5, 17)
+    xu, yu = iterative_undistortion(z, x, x)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(x), atol=1e-7)
+
+
+def test_pixel_to_ray_distorted_matches_ideal():
+    """A camera observing through a distorting lens: the ray built from the
+    DISTORTED pixel of a 3D point must pass through that point."""
+    pose = jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [0.0]])], 1)[None]
+    w = h = 100
+    focal = jnp.full((1, 2), 120.0)
+    principal = jnp.full((1, 2), 0.5)
+
+    # A 3D point at camera coords (x, y, 1); its ideal normalized coords.
+    pt = jnp.array([0.3, -0.2, 1.0])
+    x_ideal, y_ideal = pt[0], pt[1]
+    du, dv = apply_camera_distortion(PARAMS, x_ideal, y_ideal)
+    # The lens maps the ideal direction to distorted sensor coords.
+    u_pix = (x_ideal + du) * focal[0, 0] / w + principal[0, 0]
+    v_pix = (y_ideal + dv) * focal[0, 1] / h + principal[0, 1]
+
+    cams = Cameras(
+        poses=pose, focal=focal, principal=principal, resolution=(w, h),
+        distortion=PARAMS,
+    )
+    _, dirs = pixel_to_ray(
+        cams, jnp.zeros((1,), jnp.int32), jnp.array([[u_pix, v_pix]])
+    )
+    d = dirs[0] / dirs[0, 2]
+    np.testing.assert_allclose(np.asarray(d[:2]), np.asarray(pt[:2]), atol=1e-4)
+
+
+def _write_scene(tmp_path: Path, with_depth: bool, with_distortion: bool):
+    import imageio.v2 as imageio
+
+    h = w = 32
+    rng = np.random.default_rng(1)
+    frames = []
+    for i in range(2):
+        img = (rng.uniform(0, 1, (h, w, 4)) * 255).astype(np.uint8)
+        img[..., 3] = 255
+        imageio.imwrite(tmp_path / f"im{i}.png", img)
+        frame = {
+            "file_path": f"im{i}.png",
+            "transform_matrix": np.eye(4)[:3].tolist() if i == 0 else
+                np.concatenate([np.eye(3), [[0.1], [0], [0]]], 1).tolist(),
+            "intrinsic_matrix": [[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1]],
+        }
+        if with_depth:
+            depth = (rng.uniform(100, 4000, (h, w))).astype(np.uint16)
+            imageio.imwrite(tmp_path / f"d{i}.png", depth)
+            frame["depth_path"] = f"d{i}.png"
+        frames.append(frame)
+    meta = {
+        "from_na": True,
+        "scale": 0.5,
+        "offset": [0.5, 0.5, 0.5],
+        "aabb_scale": 1,
+        "frames": frames,
+    }
+    if with_depth:
+        meta["integer_depth_scale"] = 1.0 / 1000.0
+    if with_distortion:
+        meta.update({"k1": -0.1, "k2": 0.01, "p1": 0.001, "p2": -0.001})
+    path = tmp_path / "transforms.json"
+    with open(path, "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def test_loader_reads_distortion_and_depth(tmp_path):
+    from neus2_tpu.data.dataset import load_dataset
+
+    path = _write_scene(tmp_path, with_depth=True, with_distortion=True)
+    ds = load_dataset(path)
+    np.testing.assert_allclose(
+        ds.distortion, [-0.1, 0.01, 0.001, -0.001], atol=1e-7
+    )
+    assert ds.depths is not None and ds.depths.shape == (2, 32, 32)
+    # uint16 * integer_depth_scale * scene scale.
+    assert 0.04 < ds.depths.mean() < 1.1
+    cams = ds.cameras()
+    assert cams.distortion is not None
+
+
+def test_depth_supervision_reachable_from_testbed(tmp_path):
+    """Depth maps flow from the loader through Testbed.train into the loss
+    (round-1 gap: the loss existed but nothing ever fed it)."""
+    import dataclasses
+
+    from neus2_tpu.api.testbed import Hyperparams, Testbed
+    from neus2_tpu.engine.train import TrainConfig
+    from neus2_tpu.models.field import FieldConfig
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+
+    path = _write_scene(tmp_path, with_depth=True, with_distortion=False)
+    cfg = TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                base_resolution=8, per_level_scale=1.5),
+            sdf_hidden_dim=16,
+            rgb_hidden_dim=16,
+        ),
+        n_rays=64,
+        samples_per_ray=8,
+        n_candidates=24,
+        occ_n_probe=1 << 10,
+        depth_supervision_lambda=0.5,
+    )
+    tb = Testbed(config=cfg, hyper=Hyperparams(first_frame_max_training_step=3))
+    tb.load_training_data(path)
+    assert tb.depths is not None
+    while tb.frame():
+        pass
+    assert np.isfinite(tb.loss_scalar)

@@ -73,3 +73,49 @@ def test_vjp_matches_autodiff_oracle(setup):
     for a, b in zip(gt_fast, gt_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gx_fast), np.asarray(gx_ref), rtol=1e-3, atol=1e-2)
+
+
+def test_max_level_per_sample_matches_oracle():
+    """Per-sample max_level masking (m_max_level_rand_training,
+    grid.h:217-240) now works in the production encoder (VERDICT item 7)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neus2_tpu.ops.hashgrid import hashgrid_encode
+    from neus2_tpu.ops.hashgrid_fast import make_encode_jac
+
+    cfg = CFG
+    tables = init_hashgrid_tables(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (33, 3))
+    ml = jax.random.uniform(jax.random.PRNGKey(5), (33,)) * 2.0
+    feat, jac = make_encode_jac(cfg)(tables, x, max_level=ml)
+    table_cat = jnp.concatenate(tables, axis=0)
+    ref = hashgrid_encode(table_cat, x, cfg, max_level=ml)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(ref), atol=1e-5)
+    # Masked levels contribute no jacobian either.
+    L, F = cfg.n_levels, cfg.n_features_per_level
+    for lvl in range(L):
+        masked = np.asarray(ml * L + 1e-3 <= lvl)
+        j = np.asarray(jac[:, :, lvl * F : (lvl + 1) * F])
+        assert np.all(j[masked] == 0.0)
+
+
+def test_max_level_gradients_flow():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = CFG
+    tables = init_hashgrid_tables(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (17, 3))
+    ml = jnp.full((17,), 0.6)
+    enc = make_encode_jac(cfg)
+
+    def loss(t):
+        f, j = enc(t, x, max_level=ml)
+        return (f ** 2).sum() + (j ** 2).sum()
+
+    g = jax.grad(loss)(tables)
+    total = sum(float(jnp.abs(t).sum()) for t in g)
+    assert np.isfinite(total) and total > 0.0

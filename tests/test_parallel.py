@@ -78,3 +78,49 @@ def test_parallel_delta_phase(mesh8):
     assert np.isfinite(float(aux.loss))
     # delta moved, canonical params did not.
     assert float(jnp.abs(state.delta["transition"]).max()) > 0
+
+
+def test_testbed_multichip_static(mesh8):
+    """Product integration (VERDICT round 1): Testbed.enable_multichip drives
+    parallel_train_step and converges like the single-device path."""
+    from neus2_tpu.api.testbed import Hyperparams, Testbed
+    from neus2_tpu.data.synthetic import make_sphere_dataset as mk
+
+    config, _, _ = _setup(n_rays_per_device=64)
+    config = __import__("dataclasses").replace(config, n_rays=512)
+    tb = Testbed(config=config, hyper=Hyperparams(first_frame_max_training_step=60))
+    n = tb.enable_multichip(jax.devices("cpu")[:8])
+    assert n == 8
+    tb.load_training_data_from_datasets([mk(n_views=6, resolution=32)])
+    first = None
+    while tb.frame():
+        if first is None and tb.loss_scalar == tb.loss_scalar:
+            first = tb.loss_scalar
+    assert np.isfinite(tb.loss_scalar)
+    assert tb.loss_scalar < first
+
+
+def test_testbed_multichip_dynamic(mesh8):
+    """Dynamic state machine (pose refinement + finetune) on the mesh."""
+    from neus2_tpu.api.testbed import Hyperparams, Testbed
+    from neus2_tpu.data.synthetic import make_moving_sphere_frames
+
+    config, _, _ = _setup(n_rays_per_device=48)
+    config = __import__("dataclasses").replace(config, n_rays=384, delta_n_rays=256)
+    tb = Testbed(
+        config=config,
+        hyper=Hyperparams(
+            first_frame_max_training_step=40,
+            next_frame_max_training_step=30,
+            predict_global_movement=True,
+            predict_global_movement_training_step=10,
+        ),
+    )
+    tb.enable_multichip(jax.devices("cpu")[:8])
+    tb.load_training_data_from_datasets(
+        make_moving_sphere_frames(n_frames=2, n_views=6, resolution=32)
+    )
+    while tb.frame():
+        pass
+    assert tb.current_training_time_frame == 1
+    assert np.isfinite(tb.loss_scalar)
