@@ -158,6 +158,139 @@ def sphere_sdf(x: np.ndarray) -> np.ndarray:
     return np.linalg.norm(x - SPHERE_CENTER, axis=-1) - SPHERE_RADIUS
 
 
+# ---------------------------------------------------------------------------
+# CSG validation scene: non-convex, textured, thin features — a scene the
+# sphere-prior geometric init cannot trivially solve (round-2 validation
+# target; the reference's equivalent protocol is DTU evaluation,
+# scripts/run.py:264-344, no DTU data exists in this environment).
+# ---------------------------------------------------------------------------
+
+
+def csg_sdf(x: np.ndarray) -> np.ndarray:
+    """Analytic SDF: rounded box minus a corner sphere, plus a torus and a
+    thin plate.  Exact enough for sphere tracing and Chamfer/SDF eval
+    (CSG min/max bounds the true distance)."""
+    p = x - SPHERE_CENTER
+
+    # Rounded box, half extents 0.21.
+    q = np.abs(p) - 0.21
+    box = np.linalg.norm(np.maximum(q, 0.0), axis=-1) + np.minimum(
+        np.max(q, axis=-1), 0.0
+    ) - 0.02
+
+    # Subtracted sphere at the (+,+,+) corner -> concavity.
+    carve = 0.20 - np.linalg.norm(p - 0.17, axis=-1)
+
+    # Torus around the z axis above the box (ring: thin curved feature).
+    pz = p - np.array([0.0, 0.0, 0.30], np.float32)
+    ring = np.stack(
+        [np.linalg.norm(pz[..., :2], axis=-1) - 0.16, pz[..., 2]], axis=-1
+    )
+    torus = np.linalg.norm(ring, axis=-1) - 0.045
+
+    # Thin plate sticking out in -x (thickness 0.03).
+    pp = p - np.array([-0.30, 0.0, 0.0], np.float32)
+    qp = np.abs(pp) - np.array([0.12, 0.16, 0.015], np.float32)
+    plate = np.linalg.norm(np.maximum(qp, 0.0), axis=-1) + np.minimum(
+        np.max(qp, axis=-1), 0.0
+    )
+
+    return np.minimum(np.minimum(np.maximum(box, carve), torus), plate)
+
+
+def _csg_albedo(p: np.ndarray) -> np.ndarray:
+    """Procedural high-frequency texture (bands + checker) in linear RGB."""
+    s = np.sin(40.0 * p[..., 0]) * np.sin(37.0 * p[..., 1])
+    c = (np.floor(p[..., 0] * 24) + np.floor(p[..., 2] * 24)) % 2.0
+    r = 0.25 + 0.5 * (0.5 + 0.5 * s)
+    g = 0.25 + 0.5 * c
+    b = 0.3 + 0.4 * (0.5 + 0.5 * np.sin(29.0 * p[..., 2]))
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+def make_csg_dataset(
+    n_views: int = 24,
+    resolution: int = 128,
+    cam_distance: float = 1.35,
+    fov_deg: float = 50.0,
+    seed: int = 0,
+) -> NerfDataset:
+    """Sphere-traced renders of the CSG scene through the training camera
+    model (held-out protocol: reserve trailing views for eval)."""
+    rng = np.random.default_rng(seed)
+    w = h = resolution
+    focal = 0.5 * w / np.tan(0.5 * np.deg2rad(fov_deg))
+
+    poses, images = [], []
+    for k in range(n_views):
+        phi = 2.0 * np.pi * ((k * 0.618034) % 1.0)
+        cos_t = 1.0 - 2.0 * (k + 0.5) / n_views
+        cos_t = np.clip(cos_t * 0.9, -0.85, 0.85)
+        sin_t = np.sqrt(1.0 - cos_t * cos_t)
+        eye = SPHERE_CENTER + cam_distance * np.array(
+            [sin_t * np.cos(phi), sin_t * np.sin(phi), cos_t], np.float32
+        )
+        pose = _look_at(
+            eye,
+            SPHERE_CENTER + rng.normal(0, 1e-3, 3).astype(np.float32),
+            np.array([0.0, 0.0, 1.0], np.float32),
+        )
+        poses.append(pose)
+
+        u = (np.arange(w) + 0.5) / w
+        v = (np.arange(h) + 0.5) / h
+        uu, vv = np.meshgrid(u, v)
+        xy = np.stack([(uu - 0.5) * w / focal, (vv - 0.5) * h / focal], axis=-1)
+        dir_cam = np.concatenate([xy, np.ones_like(xy[..., :1])], axis=-1)
+        dirs = dir_cam @ pose[:, :3].T
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        o = np.broadcast_to(pose[:, 3], dirs.shape).copy()
+
+        # Vectorized sphere tracing.
+        t = np.full(dirs.shape[:-1], 0.3, np.float32)
+        alive = np.ones(dirs.shape[:-1], bool)
+        for _ in range(192):
+            pos = o + t[..., None] * dirs
+            d = csg_sdf(pos).astype(np.float32)
+            t = np.where(alive, t + d, t)
+            alive = alive & (d > 1e-4) & (t < 3.0)
+            if not alive.any():
+                break
+        hit = (t < 3.0) & ~alive
+        pos = o + t[..., None] * dirs
+        eps = 1e-4
+        n_fd = np.stack(
+            [
+                csg_sdf(pos + np.array([eps, 0, 0])) - csg_sdf(pos - np.array([eps, 0, 0])),
+                csg_sdf(pos + np.array([0, eps, 0])) - csg_sdf(pos - np.array([0, eps, 0])),
+                csg_sdf(pos + np.array([0, 0, eps])) - csg_sdf(pos - np.array([0, 0, eps])),
+            ],
+            axis=-1,
+        )
+        n_fd = n_fd / np.maximum(np.linalg.norm(n_fd, axis=-1, keepdims=True), 1e-9)
+        light = np.array([0.4, 0.5, 0.77], np.float32)
+        light = light / np.linalg.norm(light)
+        lam = np.clip(np.sum(n_fd * light, axis=-1, keepdims=True), 0.0, 1.0)
+        rgb = np.clip(_csg_albedo(pos) * (0.3 + 0.7 * lam), 0.0, 1.0)
+        alpha = hit.astype(np.float32)[..., None]
+        images.append(
+            np.concatenate([rgb * alpha, alpha], axis=-1).astype(np.float32)
+        )
+
+    n = n_views
+    return NerfDataset(
+        images=np.stack(images),
+        poses=np.stack(poses),
+        focal=np.full((n, 2), focal, np.float32),
+        principal=np.full((n, 2), 0.5, np.float32),
+        scale=1.0,
+        offset=(0.5, 0.5, 0.5),
+        aabb_scale=1,
+        from_na=True,
+        paths=(),
+    )
+
+
 def make_moving_sphere_frames(
     n_frames: int = 3,
     translation_per_frame=(0.02, 0.0, 0.0),

@@ -122,7 +122,6 @@ class TrainConfig:
     envmap_res: tuple = (16, 32)
     use_distortion: bool = False
     distortion_res: tuple = (32, 32)
-    compute_dtype: Any = jnp.float32
 
     @property
     def cone_angle(self) -> float:

@@ -51,6 +51,11 @@ class FieldConfig:
     # (reference [MOD] DynamicGridEncoding, my_tcnn double_hash_grid.h:288,
     # 2483-2514 set_base_grid; registered as otype "DynamicGrid").
     residual_grid: bool = False
+    # MLP compute dtype: bf16 = hardware-native matmuls with fp32
+    # accumulation and fp32 master params (the reference's fp16 + fp32
+    # master scheme, trainer.h:79-88; bf16 needs no loss scaling).  The
+    # encoder/compositing stay fp32 (SDF differences need the mantissa).
+    compute_dtype: Any = None
 
     @property
     def sdf_in_dim(self) -> int:
@@ -151,7 +156,7 @@ def _raw_sdf_mlp(params: Params, sdf_mlp: Params, x: jnp.ndarray, config: FieldC
         effective_grid_tables(params), x, valid_level, max_level
     )
     inp = jnp.concatenate([x, enc], axis=-1)
-    return apply_mlp(sdf_mlp, inp)
+    return apply_mlp(sdf_mlp, inp, dtype=config.compute_dtype)
 
 
 def _calibrate_sphere_init(sdf_mlp: Params, config: FieldConfig) -> Params:
@@ -226,7 +231,8 @@ def sdf_normal_features(
     inp = jnp.concatenate([x, enc], axis=-1)
 
     out, f_lin = jax.linearize(
-        lambda q: apply_mlp(params["sdf_mlp"], q), inp
+        lambda q: apply_mlp(params["sdf_mlp"], q, dtype=config.compute_dtype),
+        inp,
     )
     eye = jnp.eye(3, dtype=x.dtype)
     cols = []
@@ -259,7 +265,9 @@ def rgb_fn(
             latent = jnp.zeros(x.shape[:-1] + (config.latent_dim,), x.dtype)
         parts.append(latent)
     inp = jnp.concatenate(parts, axis=-1)
-    return jax.nn.sigmoid(apply_mlp(params["rgb_mlp"], inp))
+    return jax.nn.sigmoid(
+        apply_mlp(params["rgb_mlp"], inp, dtype=config.compute_dtype)
+    )
 
 
 def field_forward(

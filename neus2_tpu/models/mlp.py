@@ -50,13 +50,25 @@ def apply_mlp(
     x: jnp.ndarray,
     activation: Callable[[jnp.ndarray], jnp.ndarray] = jax.nn.relu,
     output_activation: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    dtype=None,
 ) -> jnp.ndarray:
+    """``dtype`` (e.g. bf16) casts activations + weights for the matmuls
+    while accumulating fp32 — the TPU analog of the reference's fp16
+    tensor-core MLPs with fp32 master params (trainer.h:79-88); params stay
+    fp32 in the optimizer, no loss scaling needed with bf16's fp32-range
+    exponent.  Output is always fp32.
+    """
     layers = params["layers"]
-    h = x
+    h = x if dtype is None else x.astype(dtype)
     for i, layer in enumerate(layers):
-        h = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
+        w, b = layer["w"], layer["b"]
+        if dtype is not None:
+            w = w.astype(dtype)
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
         if i < len(layers) - 1:
             h = activation(h)
+            if dtype is not None:
+                h = h.astype(dtype)
     if output_activation is not None:
         h = output_activation(h)
     return h

@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--eval_spp", type=int, default=8)
     p.add_argument("--n_rays", type=int, default=None)
     p.add_argument("--samples_per_ray", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MLP compute (fp32 accumulation + master params)")
     p.add_argument("--depth_supervision_lambda", type=float, default=None,
                    help="L2 depth-supervision weight; depth maps load from "
                         "per-frame depth_path + integer_depth_scale")
@@ -97,6 +99,12 @@ def main(argv=None):
         changes["samples_per_ray"] = args.samples_per_ray
     if args.depth_supervision_lambda is not None:
         changes["depth_supervision_lambda"] = args.depth_supervision_lambda
+    if args.bf16:
+        import jax.numpy as jnp
+
+        changes["field"] = dataclasses.replace(
+            config.field, compute_dtype=jnp.bfloat16
+        )
     if changes:
         config = dataclasses.replace(config, **changes)
     if args.n_steps:

@@ -35,9 +35,10 @@ from neus2_tpu.ops.hashgrid import HashGridConfig
 from neus2_tpu.ops.image import psnr
 
 
-def small_config(n_rays=512, samples=32) -> TrainConfig:
+def small_config(n_rays=512, samples=32, compute_dtype=None) -> TrainConfig:
     return TrainConfig(
         field=FieldConfig(
+            compute_dtype=compute_dtype,
             grid=HashGridConfig(
                 n_levels=8,
                 log2_hashmap_size=15,
@@ -53,7 +54,7 @@ def small_config(n_rays=512, samples=32) -> TrainConfig:
     )
 
 
-def main(n_steps=400, n_views=12, resolution=48):
+def main(n_steps=400, n_views=12, resolution=48, compute_dtype=None):
     ds = make_sphere_dataset(n_views=n_views + 1, resolution=resolution)
     cameras_all = ds.cameras()
     images_all = ds.images_device()
@@ -68,7 +69,7 @@ def main(n_steps=400, n_views=12, resolution=48):
     )
     images = images_all[:-1]
 
-    config = small_config()
+    config = small_config(compute_dtype=compute_dtype)
     state = init_train_state(jax.random.PRNGKey(0), config, n_images=n_views)
 
     t0 = time.time()

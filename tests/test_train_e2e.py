@@ -61,3 +61,19 @@ def test_train_step_is_deterministic():
     np.testing.assert_array_equal(
         np.asarray(s0.params["variance"]), np.asarray(s1.params["variance"])
     )
+
+
+@pytest.mark.slow
+def test_bf16_compute_quality_parity():
+    """bf16 MLP compute (fp32 master params, no loss scaling — the
+    reference's fp16 scheme, trainer.h:79-88): held-out PSNR within 0.3 dB
+    of fp32 (VERDICT round 1, item 4)."""
+    import jax.numpy as jnp
+
+    from e2e_drive import main
+
+    p32, sdf32 = main(n_steps=300)
+    p16, sdf16 = main(n_steps=300, compute_dtype=jnp.bfloat16)
+    assert np.isfinite(p16)
+    assert p16 > p32 - 0.3, (p16, p32)
+    assert sdf16 < 2.0 * sdf32 + 1e-3, (sdf16, sdf32)
