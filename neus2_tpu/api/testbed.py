@@ -556,22 +556,45 @@ class Testbed:
         return np.asarray(rgb), np.asarray(depth), np.asarray(alpha)
 
     def compute_and_save_marching_cubes_mesh(
-        self, path: str | Path, resolution: int = 256, thresh: float = 0.0
+        self, path: str | Path, resolution: int = 256, thresh: float = 0.0,
+        with_colors: bool = True,
     ):
-        """Reference python_api surface (python_api.cu:382; SURVEY §3.5)."""
-        from neus2_tpu.engine.mesh import extract_mesh, save_mesh_obj, save_mesh_ply
+        """Reference python_api surface (python_api.cu:382; SURVEY §3.5).
+
+        PLY exports carry per-vertex sRGB colors from the RGB head
+        (reference compute_mesh_vertex_colors, testbed_nerf.cu:4071)."""
+        from neus2_tpu.engine.mesh import (
+            extract_mesh, save_mesh_obj, save_mesh_ply, vertex_colors,
+        )
         from neus2_tpu.ops.warp import scene_aabb
 
+        aabb = scene_aabb(self.config.aabb_scale)
         verts, tris = extract_mesh(
             self.state.ema_params,
             self.config.field,
             resolution=resolution,
-            aabb=scene_aabb(self.config.aabb_scale),
+            aabb=aabb,
             thresh=thresh,
         )
         path = Path(path)
-        save = save_mesh_ply if path.suffix == ".ply" else save_mesh_obj
-        save(path, verts, tris, scale=self.dataset.scale, offset=self.dataset.offset)
+        if path.suffix == ".ply":
+            colors = None
+            if with_colors and len(verts):
+                colors = np.asarray(
+                    vertex_colors(
+                        self.state.ema_params, self.config.field,
+                        jnp.asarray(verts, jnp.float32), aabb.lo, aabb.diag,
+                    )
+                )
+            save_mesh_ply(
+                path, verts, tris, scale=self.dataset.scale,
+                offset=self.dataset.offset, colors=colors,
+            )
+        else:
+            save_mesh_obj(
+                path, verts, tris,
+                scale=self.dataset.scale, offset=self.dataset.offset,
+            )
         return verts, tris
 
     def save_transform(self, path: str | Path):

@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neus2_tpu.models.field import FieldConfig, sdf_fn
-from neus2_tpu.ops.warp import AABB
+from neus2_tpu.models.field import FieldConfig, field_forward, sdf_fn
+from neus2_tpu.ops.warp import AABB, warp_direction
 
 
 @partial(jax.jit, static_argnames=("config", "resolution", "chunk"))
@@ -79,6 +79,38 @@ def extract_mesh(
     # vertex (i+0.5)/r spacing: grid samples are at cell centers
     verts_world = lo + (verts + 0.5) / resolution * (hi - lo)
     return verts_world, tris
+
+
+@partial(jax.jit, static_argnames=("config", "chunk"))
+def vertex_colors(
+    params,
+    config: FieldConfig,
+    verts: jnp.ndarray,  # (V, 3) world-space (pre-warp) vertices
+    aabb_lo: jnp.ndarray,
+    aabb_diag: jnp.ndarray,
+    chunk: int = 1 << 14,
+) -> jnp.ndarray:
+    """Per-vertex sRGB colors (V, 3) from the RGB head with outward view
+    dirs — dir = normalize(pos - 0.5), the reference's "for want of a better
+    choice" convention (compute_mesh_vertex_colors,
+    src/testbed_nerf.cu:4071-4094 + generate_nerf_network_inputs_from_positions
+    848-854)."""
+    x_w = (verts - aabb_lo) / aabb_diag
+    n = x_w.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    xw = jnp.pad(x_w, ((0, pad), (0, 0)), constant_values=0.25).reshape(
+        n_chunks, chunk, 3
+    )
+
+    def body(x):
+        d = x - 0.5
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+        out = field_forward(params, x, warp_direction(d), config)
+        return out.rgb
+
+    rgb = jax.lax.map(body, xw).reshape(-1, 3)[:n]
+    return jnp.clip(rgb, 0.0, 1.0)
 
 
 def save_mesh_obj(

@@ -77,7 +77,11 @@ def _tile_kernel(ncap: int, row_block: int, chunk: int, f_pad: int):
 
     def kernel(e0_ref, idx_hbm, vals_hbm, out_ref, idx_s, vals_s, sem):
         j = pl.program_id(0)
-        e0 = e0_ref[j]
+        # e0 is host-computed as (offs // LANE) * LANE; Mosaic needs the
+        # alignment *proved* to allow a dynamic-offset DMA slice (the v5e
+        # compiler otherwise rejects: "tile index in dimension 1 is
+        # divisible by the tiling (128)").
+        e0 = pl.multiple_of(e0_ref[j], _LANE)
         cp_i = pltpu.make_async_copy(
             idx_hbm.at[:, pl.ds(e0, ncap)], idx_s, sem.at[0]
         )

@@ -88,6 +88,24 @@ def test_mesh_export(static_testbed, tmp_path):
     assert 0.15 < float(np.median(radii)) < 0.45
 
 
+def test_mesh_export_ply_vertex_colors(static_testbed, tmp_path):
+    """PLY export carries per-vertex sRGB colors from the RGB head
+    (reference compute_mesh_vertex_colors, testbed_nerf.cu:4071); the
+    training scene is a gray sphere so colors must be non-degenerate and
+    roughly achromatic."""
+    path = tmp_path / "mesh.ply"
+    verts, tris = static_testbed.compute_and_save_marching_cubes_mesh(
+        path, resolution=64
+    )
+    text = path.read_text()
+    assert "property uchar red" in text
+    header_end = text.index("end_header\n") + len("end_header\n")
+    first = text[header_end:].splitlines()[0].split()
+    assert len(first) == 6  # x y z r g b
+    r, g, b = (int(v) for v in first[3:])
+    assert 0 <= r <= 255 and not (r == g == b == 0)
+
+
 def test_dynamic_scene_pose_recovery():
     """Train frame 0, then frame 1 with pose refinement: the learned delta
     translation must approximate the GT object motion."""

@@ -1,0 +1,193 @@
+"""Hard-scene TPU validation: flagship config on the CSG scene, held-out eval.
+
+The CSG scene (neus2_tpu/data/synthetic.py::make_csg_dataset) is non-convex
+with thin features and a high-frequency procedural texture — geometry the
+sphere-prior init cannot trivially solve.  This is the stand-in for the
+reference's DTU evaluation protocol (reference scripts/run.py:264-344; no DTU
+data exists in this environment).
+
+Protocol: 24 train views + 2 held-out views at 256^2, flagship L14/F2 model
+(BASELINE config-2 model scale), 2000 steps (the reference's
+first_frame_max_training_step default).  Reports: held-out PSNR (mean over
+the 2 eval views, sRGB on black), mean |SDF| on ground-truth surface points,
+and Chamfer distance between the extracted mesh and a densely-sampled
+ground-truth surface cloud.
+
+Resumable in <10-minute chunks (snapshot between invocations); uses the
+persistent JAX compilation cache.  Run repeatedly until it prints DONE:
+  python tools_tpu_validate_csg.py [target_steps]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/neus2_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import numpy as np
+import jax.numpy as jnp
+
+from neus2_tpu.api.testbed import Hyperparams, Testbed
+from neus2_tpu.data.synthetic import csg_sdf, make_csg_dataset
+from neus2_tpu.engine.rays import Cameras
+from neus2_tpu.engine.train import TrainConfig
+from neus2_tpu.models.field import FieldConfig, sdf_fn
+from neus2_tpu.ops.hashgrid import HashGridConfig
+from neus2_tpu.ops.image import psnr
+from neus2_tpu.ops.losses import linear_to_srgb
+
+SNAP = Path("/tmp/tpu_validate_csg.msgpack")
+META = Path("/tmp/tpu_validate_csg.json")
+TARGET = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+N_TRAIN, N_EVAL, RES = 24, 2, 256
+
+
+def gt_surface_points(n: int, seed: int = 0) -> np.ndarray:
+    """Sample ground-truth CSG surface points: start from a dense box grid of
+    candidates near the zero set and Newton-project along the FD normal."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0.2, 0.8, size=(n * 40, 3)).astype(np.float32)
+    pts = pts[np.abs(csg_sdf(pts)) < 0.08][: n * 4]
+    eps = 1e-4
+    for _ in range(12):
+        d = csg_sdf(pts)[..., None]
+        g = np.stack(
+            [
+                csg_sdf(pts + np.array([eps, 0, 0], np.float32))
+                - csg_sdf(pts - np.array([eps, 0, 0], np.float32)),
+                csg_sdf(pts + np.array([0, eps, 0], np.float32))
+                - csg_sdf(pts - np.array([0, eps, 0], np.float32)),
+                csg_sdf(pts + np.array([0, 0, eps], np.float32))
+                - csg_sdf(pts - np.array([0, 0, eps], np.float32)),
+            ],
+            axis=-1,
+        ) / (2 * eps)
+        g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+        pts = pts - d * g
+    pts = pts[np.abs(csg_sdf(pts)) < 1e-4]
+    return pts[:n].astype(np.float32)
+
+
+def main():
+    config = TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(
+                n_levels=14, log2_hashmap_size=19, base_resolution=16,
+                per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 14),
+            )
+        ),
+        n_rays=4096,
+        samples_per_ray=64,
+        n_candidates=256,
+        ek_loss_weight=0.1,
+        mask_loss_weight=0.1,
+    )
+    ds = make_csg_dataset(n_views=N_TRAIN + N_EVAL, resolution=RES)
+    cams_all = ds.cameras()
+    imgs_all = jnp.asarray(ds.images)
+    train_ds = ds.subset(slice(0, N_TRAIN)) if hasattr(ds, "subset") else None
+
+    tb = Testbed(config=config, hyper=Hyperparams(first_frame_max_training_step=TARGET))
+    if train_ds is not None:
+        tb.load_training_data_from_datasets([train_ds])
+    else:
+        import dataclasses
+
+        tb.load_training_data_from_datasets(
+            [
+                dataclasses.replace(
+                    ds,
+                    images=ds.images[:N_TRAIN],
+                    poses=ds.poses[:N_TRAIN],
+                    focal=ds.focal[:N_TRAIN],
+                    principal=ds.principal[:N_TRAIN],
+                )
+            ]
+        )
+    if SNAP.exists():
+        tb.load_snapshot(SNAP)
+        print(f"resumed at step {tb.training_step}", flush=True)
+
+    t0 = time.time()
+    budget_s = 480
+    while tb.training_step < TARGET and time.time() - t0 < budget_s:
+        tb.train()
+        if tb.training_step % 100 == 0:
+            print(
+                f"step {tb.training_step} loss={tb.loss_scalar:.5f} "
+                f"[{time.time()-t0:.0f}s]",
+                flush=True,
+            )
+    tb.save_snapshot(SNAP)
+    print(f"paused/finished at step {tb.training_step} [{time.time()-t0:.0f}s]", flush=True)
+    if tb.training_step < TARGET:
+        return
+
+    # --- held-out PSNR over the eval views (sRGB on black, eval protocol of
+    # reference scripts/run.py:299-320: linear->srgb, premultiplied alpha) ---
+    from neus2_tpu.engine.render import RenderConfig, render_image
+
+    rcfg = RenderConfig(
+        field=config.field, samples_per_ray=128, n_candidates=256, chunk=1 << 13
+    )
+    psnrs = []
+    for k in range(N_TRAIN, N_TRAIN + N_EVAL):
+        rgb, depth, alpha = render_image(
+            tb.state.ema_params, tb.state.acc, tb.state.occupancy,
+            cams_all, cams_all.poses[k], cams_all.focal[k], cams_all.principal[k],
+            jax.random.PRNGKey(k), rcfg, background=0.0,
+        )
+        tex = imgs_all[k]
+        a = tex[..., 3:4]
+        target = jnp.where(
+            a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a, 0.0
+        )
+        p = float(psnr(jnp.asarray(rgb), target))
+        psnrs.append(p)
+        print(f"eval view {k}: PSNR {p:.2f} dB", flush=True)
+
+    # --- geometry: |SDF| on GT surface + Chamfer mesh<->GT cloud ---
+    gt_pts = gt_surface_points(4096)
+    sdf, _ = sdf_fn(tb.state.ema_params, jnp.asarray(gt_pts), config.field)
+    surf_err = float(jnp.abs(sdf).mean())
+
+    chamfer = None
+    try:
+        from neus2_tpu.engine.mesh import extract_mesh
+
+        verts, faces = extract_mesh(
+            tb.state.ema_params, config.field, resolution=256,
+            aabb_min=(0.15, 0.15, 0.15), aabb_max=(0.85, 0.85, 0.85),
+        )
+        v = jnp.asarray(np.asarray(verts, np.float32))
+        g = jnp.asarray(gt_pts)
+        # symmetric Chamfer (mean of two directed mean NN distances), chunked
+        def directed(a, b):
+            def one(chunk):
+                d = jnp.linalg.norm(chunk[:, None, :] - b[None, :, :], axis=-1)
+                return d.min(axis=1)
+            outs = [one(a[i : i + 1024]) for i in range(0, a.shape[0], 1024)]
+            return float(jnp.concatenate(outs).mean())
+
+        sub = v[:: max(1, v.shape[0] // 8192)]
+        chamfer = 0.5 * (directed(sub, g) + directed(g, sub))
+    except Exception as e:  # mesh extraction is secondary; report and move on
+        print("mesh/chamfer skipped:", e, flush=True)
+
+    out = {
+        "steps": tb.training_step,
+        "held_out_psnr": float(np.mean(psnrs)),
+        "per_view_psnr": psnrs,
+        "surface_sdf_err": surf_err,
+        "chamfer": chamfer,
+    }
+    META.write_text(json.dumps(out))
+    print("DONE", json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
