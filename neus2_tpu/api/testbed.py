@@ -552,6 +552,12 @@ class Testbed:
             cfg,
             background=background,
             spp=spp,
+            # Mixed-resolution datasets: render at the image's true size.
+            resolution=(
+                tuple(int(v) for v in self.dataset.sizes[img_idx])
+                if getattr(self.dataset, "sizes", None) is not None
+                else None
+            ),
         )
         return np.asarray(rgb), np.asarray(depth), np.asarray(alpha)
 

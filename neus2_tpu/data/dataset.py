@@ -64,6 +64,16 @@ class NerfDataset:
     # per-frame depth_path images scaled by integer_depth_scale * scale
     # (reference nerf_loader.cu:91-98, 218-220, 599-607, 736).
     depths: np.ndarray | None = None
+    # Rolling shutter (t0, du, dv, motionblur) + end-of-exposure poses
+    # (reference nerf_loader.cu:434-445, transform_matrix_end).
+    rolling_shutter: np.ndarray | None = None
+    poses_end: np.ndarray | None = None
+    # Per-pixel ray files "rays_<stem>.dat" next to each image
+    # ((N, H, W, 6) [o|d] in ngp coords; reference nerf_loader.cu:614-635).
+    rays: np.ndarray | None = None
+    # Per-image true (w, h) when resolutions are mixed and images are
+    # zero-padded to the common max (reference nerf_loader.h:33-48).
+    sizes: np.ndarray | None = None
 
     @property
     def n_images(self) -> int:
@@ -76,16 +86,17 @@ class NerfDataset:
     def cameras(self) -> Cameras:
         import jax.numpy as jnp
 
+        opt = lambda a, dt=jnp.float32: None if a is None else jnp.asarray(a, dt)
         return Cameras(
             poses=jnp.asarray(self.poses, jnp.float32),
             focal=jnp.asarray(self.focal, jnp.float32),
             principal=jnp.asarray(self.principal, jnp.float32),
             resolution=self.resolution,
-            distortion=(
-                None
-                if self.distortion is None
-                else jnp.asarray(self.distortion, jnp.float32)
-            ),
+            distortion=opt(self.distortion),
+            poses_end=opt(self.poses_end),
+            rolling_shutter=opt(self.rolling_shutter),
+            rays=opt(self.rays),
+            image_sizes=opt(self.sizes, jnp.int32),
         )
 
     def images_device(self, dtype=None):
@@ -136,6 +147,14 @@ def ngp_matrix_to_nerf(
 
 def _load_image_rgba(path: Path) -> np.ndarray:
     """Load an image file -> (H, W, 4) float32 premultiplied-linear RGBA."""
+    if path.suffix.lower() == ".exr":
+        # EXR data is linear already (reference tinyexr path,
+        # nerf_loader.cu:499-510 is_hdr).
+        from neus2_tpu.data.exr import read_exr_rgba
+
+        img = read_exr_rgba(path)
+        rgb, alpha = img[..., :3], img[..., 3:4]
+        return np.concatenate([rgb * alpha, alpha], axis=-1).astype(np.float32)
     import imageio.v2 as imageio
 
     img = np.asarray(imageio.imread(str(path)))
@@ -212,12 +231,19 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
     # uint16 depth images scale by integer_depth_scale, then by the scene
     # scale (reference set_training_image call, nerf_loader.cu:736).
     depth_scale = float(meta.get("integer_depth_scale", -1.0))
+    # Rolling shutter (t0, du, dv[, motionblur]) at the json root
+    # (reference nerf_loader.cu:434-445).
+    rolling_shutter = None
+    if "rolling_shutter" in meta:
+        rs = [float(v) for v in meta["rolling_shutter"]]
+        rolling_shutter = np.asarray((rs + [0.0])[:4], np.float32)
 
     frames = meta["frames"]
     if n_frames_cap is not None:
         frames = frames[:n_frames_cap]
     images, poses, focals, principals, paths, depth_list = [], [], [], [], [], []
-    any_depth = False
+    poses_end, ray_list = [], []
+    any_depth = any_end = any_rays = False
     for frame in frames:
         fp = frame["file_path"]
         p = basepath / fp
@@ -229,6 +255,14 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
             np.float32,
         )
         poses.append(nerf_matrix_to_ngp(mat, scale, offset, from_na))
+        # End-of-exposure pose: transform_matrix_end, default = start
+        # (reference nerf_loader.cu:637-639).
+        if "transform_matrix_end" in frame:
+            end = np.asarray(frame["transform_matrix_end"], np.float32)
+            any_end = True
+        else:
+            end = mat
+        poses_end.append(nerf_matrix_to_ngp(end, scale, offset, from_na))
         w, h = images[-1].shape[1], images[-1].shape[0]
         fx, fy, cx, cy = _focal_from_json(frame, meta, w, h)
         focals.append((fx, fy))
@@ -239,19 +273,44 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
             d = _load_depth(basepath / frame["depth_path"], depth_scale * scale)
             any_depth = True
         depth_list.append(d)
+        r = _load_rays_file(p, (h, w), scale, offset)
+        any_rays = any_rays or r is not None
+        ray_list.append(r)
 
-    shapes = {im.shape for im in images}
+    shapes = {im.shape[:2] for im in images}
+    sizes = None
     if len(shapes) != 1:
-        raise ValueError(f"mixed image resolutions not supported yet: {shapes}")
+        # Mixed per-image resolutions: zero-pad to the common max and keep
+        # the true (w, h) per image (reference metadata is per-image,
+        # nerf_loader.h:33-48; sampling clamps to the true size).
+        sizes = np.asarray(
+            [(im.shape[1], im.shape[0]) for im in images], np.int32
+        )
+        h_max = max(s[0] for s in shapes)
+        w_max = max(s[1] for s in shapes)
+        pad2 = lambda a: np.pad(
+            a, ((0, h_max - a.shape[0]), (0, w_max - a.shape[1]))
+            + ((0, 0),) * (a.ndim - 2)
+        )
+        images = [pad2(im) for im in images]
+        depth_list = [None if d is None else pad2(d) for d in depth_list]
+        ray_list = [None if r is None else pad2(r) for r in ray_list]
+    h, w = images[0].shape[:2]
     depths = None
     if any_depth:
-        h, w = images[0].shape[:2]
         depths = np.stack(
             [
                 d if d is not None else np.zeros((h, w), np.float32)
                 for d in depth_list
             ]
         )
+    rays = None
+    if any_rays:
+        if not all(r is not None for r in ray_list):
+            raise ValueError(
+                "per-pixel ray files must be present for all frames or none"
+            )
+        rays = np.stack(ray_list)
     return NerfDataset(
         images=np.stack(images),
         poses=np.stack(poses),
@@ -264,7 +323,34 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         paths=tuple(paths),
         distortion=distortion,
         depths=depths,
+        rolling_shutter=rolling_shutter,
+        poses_end=np.stack(poses_end) if (any_end or rolling_shutter is not None) else None,
+        rays=rays,
+        sizes=sizes,
     )
+
+
+def _load_rays_file(
+    img_path: Path, hw: tuple[int, int], scale: float, offset: np.ndarray
+) -> np.ndarray | None:
+    """Load "rays_<stem>.dat" next to an image -> (H, W, 6) ngp [o|d] or None.
+
+    Binary layout: H*W Ray records of 6 float32 (origin, direction) in nerf
+    coords, converted per nerf_ray_to_ngp (reference nerf_loader.cu:614-635,
+    nerf_loader.h:157-172: o = o*scale + offset, then cycle xyz <- yzx on
+    both o and d; direction left unscaled)."""
+    rp = img_path.parent / f"rays_{img_path.stem}.dat"
+    if not rp.exists():
+        return None
+    h, w = hw
+    raw = np.fromfile(rp, np.float32)
+    if raw.size < h * w * 6:
+        raise ValueError(f"{rp}: expected {h*w*6} floats, got {raw.size}")
+    r = raw[: h * w * 6].reshape(h, w, 6).copy()
+    r[..., :3] = r[..., :3] * scale + np.asarray(offset, np.float32)
+    r[..., 0:3] = r[..., [1, 2, 0]]
+    r[..., 3:6] = r[..., [4, 5, 3]]
+    return r
 
 
 def _load_depth(path: Path, scale: float) -> np.ndarray:
@@ -274,9 +360,14 @@ def _load_depth(path: Path, scale: float) -> np.ndarray:
     matching the reference's copy_depth kernel which applies the same factor
     to both depth dtypes (nerf_loader.cu:91-98, 736).
     """
-    import imageio.v2 as imageio
+    if path.suffix.lower() == ".exr":
+        from neus2_tpu.data.exr import read_exr_depth
 
-    d = np.asarray(imageio.imread(str(path)))
+        d = read_exr_depth(path)
+    else:
+        import imageio.v2 as imageio
+
+        d = np.asarray(imageio.imread(str(path)))
     if d.ndim == 3:
         d = d[..., 0]
     return (d.astype(np.float32) * scale).astype(np.float32)

@@ -21,15 +21,37 @@ class Cameras(NamedTuple):
     poses: jnp.ndarray  # (N, 3, 4) camera-to-world
     focal: jnp.ndarray  # (N, 2) fx, fy in pixels
     principal: jnp.ndarray  # (N, 2) cx, cy relative to resolution ([0,1])
-    resolution: tuple[int, int]  # (W, H), static
+    resolution: tuple[int, int]  # (W, H), static (max over images)
     # Brown-Conrady lens distortion (k1, k2, p1, p2), shared by all images
     # as in the reference (parsed from the json root, nerf_loader.cu:397-425);
     # None = pinhole.
     distortion: jnp.ndarray | None = None
+    # End-of-exposure poses + rolling-shutter coefficients (t0, du, dv,
+    # motionblur): the per-pixel pose is start + (end-start) * (t0 + du*u +
+    # dv*v + mb*time) (reference get_xform_given_rolling_shutter,
+    # common_device.cuh:226-229; parsed at nerf_loader.cu:434-445).
+    poses_end: jnp.ndarray | None = None
+    rolling_shutter: jnp.ndarray | None = None
+    # Per-pixel ray files ("has_rays", nerf_loader.cu:614-635): (N, H, W, 6)
+    # [origin | direction] in ngp coords; overrides the pinhole model for
+    # training-sample generation (testbed_nerf.cu:1328).
+    rays: jnp.ndarray | None = None
+    # Per-image true (w, h) when images have mixed resolutions and are
+    # stored zero-padded to the shared (W, H) (reference metadata is
+    # per-image, nerf_loader.h:33-48); None = all images at `resolution`.
+    image_sizes: jnp.ndarray | None = None
 
     @property
     def n_images(self) -> int:
         return self.poses.shape[0]
+
+    def size_of(self, img_idx: jnp.ndarray) -> jnp.ndarray:
+        """(B, 2) float (w, h) of each image in the batch."""
+        if self.image_sizes is not None:
+            return self.image_sizes[img_idx].astype(jnp.float32)
+        w, h = self.resolution
+        shape = jnp.shape(img_idx) + (2,)
+        return jnp.broadcast_to(jnp.array([w, h], jnp.float32), shape)
 
 
 def apply_camera_distortion(
@@ -85,17 +107,30 @@ def iterative_undistortion(
 
 
 def pixel_to_ray(
-    cameras: Cameras, img_idx: jnp.ndarray, uv: jnp.ndarray
+    cameras: Cameras,
+    img_idx: jnp.ndarray,
+    uv: jnp.ndarray,
+    motionblur_time: jnp.ndarray | float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rays for a batch of (image index, uv in [0,1]^2) pairs.
 
     Returns (origin (B, 3), direction (B, 3) normalized).
     """
     poses = cameras.poses[img_idx]  # (B, 3, 4)
+    if cameras.poses_end is not None and cameras.rolling_shutter is not None:
+        # Per-pixel exposure-time pose interpolation
+        # (get_xform_given_rolling_shutter, common_device.cuh:226-229).
+        rs = cameras.rolling_shutter
+        t = (
+            rs[0]
+            + rs[1] * uv[..., 0]
+            + rs[2] * uv[..., 1]
+            + rs[3] * motionblur_time
+        )
+        poses = poses + (cameras.poses_end[img_idx] - poses) * t[..., None, None]
     focal = cameras.focal[img_idx]  # (B, 2)
     principal = cameras.principal[img_idx]  # (B, 2)
-    w, h = cameras.resolution
-    res = jnp.array([w, h], jnp.float32)
+    res = cameras.size_of(img_idx)
     xy = (uv - principal) * res / focal
     if cameras.distortion is not None:
         # Undistort in normalized camera coords before building the ray
@@ -121,13 +156,23 @@ def rays_from_pixels(
     """Rays + RGBA targets for given (image, uv) picks.
 
     Returns (origins (B,3), dirs (B,3), rgba (B,4), uv (B,2))."""
-    w, h = cameras.resolution
-    px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
-    py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
+    wh = cameras.size_of(img_idx)  # (B, 2) per-image true size
+    px = jnp.minimum((uv[:, 0] * wh[:, 0]).astype(jnp.int32), wh[:, 0].astype(jnp.int32) - 1)
+    py = jnp.minimum((uv[:, 1] * wh[:, 1]).astype(jnp.int32), wh[:, 1].astype(jnp.int32) - 1)
     if snap_to_pixel_centers:
-        uv = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
+        uv = jnp.stack([(px + 0.5) / wh[:, 0], (py + 0.5) / wh[:, 1]], axis=-1)
     rgba = images[img_idx, py, px]
-    origins, dirs = pixel_to_ray(cameras, img_idx, uv)
+    if cameras.rays is not None:
+        # Per-pixel ray files override the camera model for training rays
+        # (testbed_nerf.cu:1328 rays_in_unnormalized).
+        ray = cameras.rays[img_idx, py, px]  # (B, 6)
+        origins = ray[:, :3]
+        dirs = ray[:, 3:]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9
+        )
+    else:
+        origins, dirs = pixel_to_ray(cameras, img_idx, uv)
     return origins, dirs, rgba.astype(jnp.float32), uv
 
 

@@ -154,6 +154,7 @@ def render_image(
     background: jnp.ndarray | float = 0.0,
     spp: int | None = None,
     mode: str = "shade",
+    resolution: tuple[int, int] | None = None,
 ):
     """Render a full image -> (H, W, 3) image, (H, W) depth, (H, W) alpha.
 
@@ -165,7 +166,7 @@ def render_image(
     spp=8 (jittered sample offsets averaged), min transmittance 1e-4; network
     rgb output already lives in sRGB space.
     """
-    w, h = cameras.resolution
+    w, h = resolution or cameras.resolution
     one_cam = Cameras(
         poses=pose[None],
         focal=jnp.asarray(focal)[None],

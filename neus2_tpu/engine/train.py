@@ -391,9 +391,15 @@ def _forward_loss(
     if depths is not None and config.depth_supervision_lambda > 0.0:
         # L2 on ray depth where ground truth exists
         # (reference depth_supervision, testbed_nerf.cu:1903-1906).
-        w_img, h_img = cameras.resolution
-        px = jnp.minimum((uv[:, 0] * w_img).astype(jnp.int32), w_img - 1)
-        py = jnp.minimum((uv[:, 1] * h_img).astype(jnp.int32), h_img - 1)
+        wh_img = cameras.size_of(img_idx)
+        px = jnp.minimum(
+            (uv[:, 0] * wh_img[:, 0]).astype(jnp.int32),
+            wh_img[:, 0].astype(jnp.int32) - 1,
+        )
+        py = jnp.minimum(
+            (uv[:, 1] * wh_img[:, 1]).astype(jnp.int32),
+            wh_img[:, 1].astype(jnp.int32) - 1,
+        )
         depth_gt = depths[img_idx, py, px]
         has_d = (depth_gt > 0.0).astype(jnp.float32) * ray_w
         nd = jnp.maximum(jnp.sum(has_d), 1.0)

@@ -1,0 +1,184 @@
+"""Loader parity tail: EXR decode, per-pixel ray files, rolling shutter,
+mixed per-image resolutions.
+
+Reference contracts: tinyexr decode (nerf_loader.cu:218-220 enable_depth
+path), "rays_<stem>.dat" per-pixel rays + nerf_ray_to_ngp
+(nerf_loader.cu:614-635, nerf_loader.h:157-172), rolling-shutter pose
+interpolation (common_device.cuh:226-229, nerf_loader.cu:434-445), and
+per-image metadata/resolutions (nerf_loader.h:33-48)."""
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neus2_tpu.data.dataset import load_dataset
+from neus2_tpu.data.exr import read_exr, read_exr_depth, write_exr
+from neus2_tpu.engine.rays import Cameras, pixel_to_ray, rays_from_pixels
+
+SCALE, OFFSET = 0.5, (0.25, 0.25, 0.25)
+
+
+@pytest.mark.parametrize("compression", ["none", "zips", "zip"])
+@pytest.mark.parametrize("half", [False, True])
+def test_exr_roundtrip(tmp_path, compression, half):
+    rng = np.random.default_rng(0)
+    chans = {
+        "R": rng.random((23, 41)).astype(np.float32),
+        "G": rng.random((23, 41)).astype(np.float32) * 5,
+        "B": rng.random((23, 41)).astype(np.float32),
+    }
+    p = tmp_path / "t.exr"
+    write_exr(p, chans, compression=compression, half=half)
+    back = read_exr(p)
+    for k, v in chans.items():
+        tol = 3e-3 * max(float(v.max()), 1.0) if half else 1e-7
+        np.testing.assert_allclose(back[k], v, atol=tol)
+
+
+def _write_scene(tmp_path: Path, frames_spec):
+    """frames_spec: list of dicts with keys h, w, and optional extras."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for i, spec in enumerate(frames_spec):
+        h, w = spec["h"], spec["w"]
+        if spec.get("exr"):
+            name = f"im{i}.exr"
+            write_exr(
+                tmp_path / name,
+                {
+                    "R": rng.random((h, w)).astype(np.float32),
+                    "G": rng.random((h, w)).astype(np.float32),
+                    "B": rng.random((h, w)).astype(np.float32),
+                },
+            )
+        else:
+            name = f"im{i}.png"
+            img = (rng.uniform(0, 1, (h, w, 4)) * 255).astype(np.uint8)
+            img[..., 3] = 255
+            imageio.imwrite(tmp_path / name, img)
+        frame = {
+            "file_path": name,
+            "transform_matrix": np.eye(4)[:3].tolist() if False else np.eye(4).tolist(),
+        }
+        frame.update(spec.get("frame_extra", {}))
+        frames.append(frame)
+    meta = {
+        "frames": frames,
+        "fl_x": 40.0,
+        "fl_y": 40.0,
+        "scale": SCALE,
+        "offset": list(OFFSET),
+    }
+    meta.update(frames_spec[0].get("meta_extra", {}))
+    path = tmp_path / "transforms.json"
+    path.write_text(json.dumps(meta))
+    return path
+
+
+def test_exr_image_and_depth_load(tmp_path):
+    h = w = 16
+    z = np.full((h, w), 2.5, np.float32)
+    write_exr(tmp_path / "d0.exr", {"Z": z})
+    path = _write_scene(
+        tmp_path,
+        [
+            {
+                "h": h, "w": w, "exr": True,
+                "frame_extra": {"depth_path": "d0.exr"},
+                "meta_extra": {"integer_depth_scale": 1.0},
+            }
+        ],
+    )
+    ds = load_dataset(path)
+    assert ds.images.shape == (1, h, w, 4)
+    # EXR data is linear: no sRGB transform applied, alpha defaults to 1.
+    assert np.all(ds.images[..., 3] == 1.0)
+    assert ds.depths is not None
+    np.testing.assert_allclose(ds.depths[0], z * SCALE, rtol=1e-6)
+
+
+def test_rays_file_loading_and_use(tmp_path):
+    h = w = 8
+    path = _write_scene(tmp_path, [{"h": h, "w": w}])
+    # Per-pixel rays in NERF coords: origin = (1, 2, 3), dir = +x.
+    rays = np.zeros((h, w, 6), np.float32)
+    rays[..., :3] = (1.0, 2.0, 3.0)
+    rays[..., 3] = 1.0
+    rays.tofile(tmp_path / "rays_im0.dat")
+    ds = load_dataset(path)
+    assert ds.rays is not None and ds.rays.shape == (1, h, w, 6)
+    # nerf_ray_to_ngp: o = o*scale + offset, then cycle xyz <- yzx.
+    o_ngp = np.array([2.0, 3.0, 1.0]) * SCALE + np.asarray(OFFSET)
+    np.testing.assert_allclose(ds.rays[0, 0, 0, :3], o_ngp, rtol=1e-6)
+    np.testing.assert_allclose(ds.rays[0, 0, 0, 3:], (0.0, 0.0, 1.0), atol=1e-7)
+
+    cams = ds.cameras()
+    o, d, _, _ = rays_from_pixels(
+        cams,
+        ds.images_device(),
+        jnp.zeros((4,), jnp.int32),
+        jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 2)), jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(o), np.tile(o_ngp, (4, 1)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d), np.tile([0, 0, 1.0], (4, 1)), atol=1e-7)
+
+
+def test_rolling_shutter_pose_interpolation(tmp_path):
+    start = np.eye(4)
+    end = np.eye(4)
+    end[:3, 3] = (0.0, 0.0, 1.0)  # camera translates during exposure
+    path = _write_scene(
+        tmp_path,
+        [
+            {
+                "h": 8, "w": 8,
+                "frame_extra": {
+                    "transform_matrix_start": start.tolist(),
+                    "transform_matrix_end": end.tolist(),
+                },
+                "meta_extra": {"rolling_shutter": [0.0, 0.0, 1.0]},
+            }
+        ],
+    )
+    ds = load_dataset(path)
+    assert ds.rolling_shutter is not None and ds.poses_end is not None
+    cams = ds.cameras()
+    idx = jnp.zeros((2,), jnp.int32)
+    # v=0 -> start pose origin; v=1 -> end pose origin.
+    uv = jnp.array([[0.5, 0.0], [0.5, 1.0]], jnp.float32)
+    o, _ = pixel_to_ray(cams, idx, uv)
+    o0_expected = ds.poses[0, :, 3]
+    o1_expected = ds.poses_end[0, :, 3]
+    np.testing.assert_allclose(np.asarray(o[0]), o0_expected, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o[1]), o1_expected, atol=1e-6)
+    assert not np.allclose(o0_expected, o1_expected)
+
+
+def test_mixed_resolutions_padded(tmp_path):
+    path = _write_scene(tmp_path, [{"h": 24, "w": 32}, {"h": 16, "w": 20}])
+    ds = load_dataset(path)
+    assert ds.sizes is not None
+    np.testing.assert_array_equal(ds.sizes, [[32, 24], [20, 16]])
+    assert ds.images.shape == (2, 24, 32, 4)
+    # Padding region of the smaller image is zero.
+    assert np.all(ds.images[1, 16:] == 0.0) and np.all(ds.images[1, :, 20:] == 0.0)
+
+    cams = ds.cameras()
+    # Sampling uv ~ 1.0 on the small image must stay inside its true bounds
+    # (pixel 19/15, not the padded 31/23).
+    o, d, rgba, uv = rays_from_pixels(
+        cams,
+        ds.images_device(),
+        jnp.ones((8,), jnp.int32),
+        jnp.asarray(np.full((8, 2), 0.999), jnp.float32),
+    )
+    assert np.all(np.asarray(rgba)[:, 3] == 1.0)  # never the zero padding
+    # Snapped uv is the center of the last TRUE pixel.
+    np.testing.assert_allclose(
+        np.asarray(uv)[0], [(19 + 0.5) / 20, (15 + 0.5) / 16], rtol=1e-6
+    )

@@ -113,7 +113,9 @@ def main():
         print(f"resumed at step {tb.training_step}", flush=True)
 
     t0 = time.time()
-    budget_s = 480
+    # Leave generous headroom after the loop: fetching the full train state
+    # over the axon tunnel for the snapshot can take tens of seconds.
+    budget_s = 330
     while tb.training_step < TARGET and time.time() - t0 < budget_s:
         tb.train()
         if tb.training_step % 100 == 0:
