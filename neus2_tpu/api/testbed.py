@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from pathlib import Path
 
@@ -245,6 +246,19 @@ class Testbed:
         need = 1 << max(0, (2 * n_cells // 256 - 1)).bit_length()
         if need > self.config.occ_n_probe:
             self.config = dataclasses.replace(self.config, occ_n_probe=need)
+        # Error-map resolution from the first accumulation window's sample
+        # budget (reference sizing, testbed_nerf.cu:3479-3482) — static here,
+        # computed once at load (fixed shapes under jit).
+        if self.config.use_error_map:
+            res = emap_mod.resolution_for(
+                self.config.n_rays,
+                self.dataset.n_images,
+                min(self.dataset.resolution),
+            )
+            if res != self.config.error_map_res:
+                self.config = dataclasses.replace(
+                    self.config, error_map_res=res
+                )
         self.state = init_train_state(
             jax.random.PRNGKey(self.seed), self.config, self.dataset.n_images
         )
@@ -642,8 +656,13 @@ class Testbed:
                 "aabb_scale": np.int32(self.config.aabb_scale),
             },
         }
-        with open(path, "wb") as f:
+        # Atomic write: device_get over the tunnel can take tens of seconds
+        # and a snapshot killed mid-write must not corrupt the resume point.
+        path = Path(path)
+        tmp = path.with_name(path.name + ".tmp")
+        with open(tmp, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
+        os.replace(tmp, path)
 
     def load_snapshot(self, path: str | Path):
         from flax import serialization

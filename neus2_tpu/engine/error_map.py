@@ -2,16 +2,20 @@
 
 TPU-native restatement of the reference's error-map machinery
 (reference: src/testbed_nerf.cu:1740-1765 loss deposit with bilinear
-footprint, 2333-2388 construct_cdf_2d/construct_cdf_1d, 3555-3603 CDF rebuild
-every 128 steps growing by 1.5x; sampling via image_idx /
-nerf_random_image_pos_training in common_device.cuh).
+footprint, 2333-2388 construct_cdf_2d/construct_cdf_1d, 3478-3484 map reset
+per accumulation window, 3555-3603 CDF rebuild every 128 steps growing by
+1.5x; sampling via sample_image / nerf_random_image_pos_training in
+common_device.cuh).
 
-Instead of separate per-row/marginal CDFs, a single flat CDF over all
-(image, cell) bins is kept on device; sampling is one searchsorted per ray
-(log2(bins) ~ 20 compares) and the deposit is a small scatter-add — both
-trivially jit-able, no host sync.  The reference deliberately does NOT divide
-the loss by the sampling pdf (testbed_nerf.cu:1901-1906 comment) — importance
-sampling intentionally reweights the loss — and we reproduce that behavior.
+The reference samples hierarchically: image from a CDF mixed with a uniform
+floor (MIN_PMF = 0.1), then row y | img (floor MIN_PDF = 0.01), then cell
+x | y,img (floor 0.01).  Here the SAME joint distribution is computed in
+closed form as the product of those three mixed pmfs and flattened into one
+(image, cell) CDF; sampling is one searchsorted per ray (~log2(bins)
+compares) — no host sync, and distribution-identical to the reference's
+three-stage scheme.  The reference deliberately does NOT divide the loss by
+the sampling pdf (testbed_nerf.cu:1901-1906 comment) — importance sampling
+intentionally reweights the loss — and we reproduce that behavior.
 """
 
 from __future__ import annotations
@@ -21,13 +25,26 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# Reference error-map resolution: 128x128 (testbed.h error_map.resolution
-# default); we keep it configurable via init.
+# Fallback error-map resolution; the Testbed derives the real one from the
+# first accumulation window via ``resolution_for`` (testbed_nerf.cu:3482).
 ERROR_MAP_RES = 32
+
+# Uniform-mixture floors (testbed_nerf.cu:2331 MIN_PDF, 3592 MIN_PMF).
+MIN_PDF = 0.01
+MIN_PMF = 0.1
+
+
+def resolution_for(n_rays_per_step: int, n_images: int, image_res: int) -> int:
+    """Reference sizing: res = sqrt(sqrt(samples/image in the first 128-step
+    window)) * 3.5, capped at the image resolution (testbed_nerf.cu:3479-3482).
+    Static here (fixed shapes): computed once at error-map enable time."""
+    n_per_img = max(1, (128 * n_rays_per_step) // max(1, n_images))
+    res = int(float(n_per_img) ** 0.25 * 3.5)
+    return max(4, min(res, image_res))
 
 
 class ErrorMapState(NamedTuple):
-    error_map: jnp.ndarray  # (N_img, R, R) accumulated loss
+    error_map: jnp.ndarray  # (N_img, R, R) loss accumulated this window
     cdf: jnp.ndarray  # (N_img*R*R,) inclusive prefix sums (rebuilt lazily)
 
     @property
@@ -50,24 +67,49 @@ def deposit(
     uv: jnp.ndarray,  # (B, 2)
     loss: jnp.ndarray,  # (B,) per-ray loss values
 ) -> ErrorMapState:
-    """Accumulate per-ray losses into the map (nearest cell; the reference
-    uses a bilinear footprint — nearest is sufficient at our cell sizes)."""
+    """Accumulate per-ray losses with the reference's bilinear 4-cell
+    footprint (testbed_nerf.cu:1737-1763: cell index clamped to res-2 so the
+    +1 neighbors stay in bounds, fractional part as the weight)."""
     r = state.res
-    cx = jnp.clip((uv[:, 0] * r).astype(jnp.int32), 0, r - 1)
-    cy = jnp.clip((uv[:, 1] * r).astype(jnp.int32), 0, r - 1)
-    em = state.error_map.at[img_idx, cy, cx].add(loss)
+    pos = uv * r - 0.5
+    pos_floor = jnp.floor(pos)
+    w = pos - pos_floor  # (B, 2) bilinear weights
+    cx = jnp.clip(pos_floor[:, 0].astype(jnp.int32), 0, r - 2)
+    cy = jnp.clip(pos_floor[:, 1].astype(jnp.int32), 0, r - 2)
+    em = state.error_map
+    wx, wy = w[:, 0], w[:, 1]
+    em = em.at[img_idx, cy, cx].add((1 - wx) * (1 - wy) * loss)
+    em = em.at[img_idx, cy, cx + 1].add(wx * (1 - wy) * loss)
+    em = em.at[img_idx, cy + 1, cx].add((1 - wx) * wy * loss)
+    em = em.at[img_idx, cy + 1, cx + 1].add(wx * wy * loss)
     return state._replace(error_map=em)
 
 
-def rebuild_cdf(state: ErrorMapState, decay: float = 0.5) -> ErrorMapState:
-    """Rebuild the sampling CDF and decay the accumulated map
-    (the reference halves the map on rebuild via its CDF normalization)."""
-    flat = state.error_map.reshape(-1)
-    # Smooth with a uniform floor so unvisited cells keep being explored.
-    weights = flat + jnp.mean(flat) * 0.1 + 1e-8
+def rebuild_cdf(state: ErrorMapState) -> ErrorMapState:
+    """Rebuild the sampling CDF as the exact joint of the reference's
+    three-stage mixed sampling (construct_cdf_2d/1d + the CPU image CDF):
+
+      p(img)      = (1-MIN_PMF) img_sum/total + MIN_PMF/N
+      p(y | img)  = (1-MIN_PDF) row_sum/img_sum + MIN_PDF/H
+      p(x | y,im) = (1-MIN_PDF) cell/row_sum + MIN_PDF/W
+
+    then ZERO the accumulation map — the reference memsets it at the start
+    of each window (testbed_nerf.cu:3484), so each CDF reflects only the
+    most recent window's losses."""
+    em = state.error_map + 1e-10  # construct_cdf_2d adds 1e-10 per cell
+    n, h, wdt = em.shape
+    row_sum = em.sum(axis=2)  # (N, H)
+    img_sum = row_sum.sum(axis=1)  # (N,)
+    total = img_sum.sum()
+
+    p_img = (1.0 - MIN_PMF) * img_sum / total + MIN_PMF / n  # (N,)
+    p_y = (1.0 - MIN_PDF) * row_sum / img_sum[:, None] + MIN_PDF / h  # (N,H)
+    p_x = (1.0 - MIN_PDF) * em / row_sum[:, :, None] + MIN_PDF / wdt  # (N,H,W)
+
+    weights = (p_img[:, None, None] * p_y[:, :, None] * p_x).reshape(-1)
     cdf = jnp.cumsum(weights)
     cdf = cdf / cdf[-1]
-    return ErrorMapState(error_map=state.error_map * decay, cdf=cdf)
+    return ErrorMapState(error_map=jnp.zeros_like(state.error_map), cdf=cdf)
 
 
 def sample_pixels(

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from neus2_tpu.ops.hashgrid import HashGridConfig, _corner_indices
-from neus2_tpu.ops.scatter import segment_dense_sum
+from neus2_tpu.ops.scatter import segment_dense_sum_multi
 
 # Corner offsets (8, 3): corner >> d & 1 per dimension.
 _CORNERS = [[(c >> d) & 1 for d in range(3)] for c in range(8)]
@@ -158,7 +158,7 @@ def make_encode_jac(config: HashGridConfig):
     def _encode_bwd(res, cts):
         residuals, table_rows, max_level = res
         ct_feat, ct_jac = cts  # (N, L*F), (N, 3, L*F)
-        d_tables = []
+        idx_flat, upd_flat = [], []
         d_x = 0.0
         for l in range(L):
             idx, vals, frac, gate = residuals[l]  # gate (N,1)
@@ -171,18 +171,8 @@ def make_encode_jac(config: HashGridConfig):
                 w[..., None] * ctf[:, None, :]
                 + jnp.einsum("ncj,njf->ncf", dw, ctj)
             )  # (N,8,F)
-            # Scatter-free segment sum: XLA:TPU scatter_add serializes per
-            # update (~80 ms/level at batch scale); hashed levels take the
-            # sort+Pallas tile-reduce (ops/segment_tile.py), dense levels
-            # the two-sort pipeline (ops/scatter.py, PERF.md).
-            d_tables.append(
-                segment_dense_sum(
-                    idx.reshape(-1),
-                    upd.reshape(-1, F),
-                    table_rows[l],
-                    uniform_hint=bool(use_hash[l]),
-                )
-            )
+            idx_flat.append(idx.reshape(-1))
+            upd_flat.append(upd.reshape(-1, F))
 
             # --- d positions (grid.h:804 first order + 1010 second order) ---
             # dL/dx_j += sum_cf dw[n,c,j] * vals * ctf   (through feat)
@@ -204,6 +194,11 @@ def make_encode_jac(config: HashGridConfig):
             d_x = d_x + jnp.stack(
                 [dx0.sum(1), dx1.sum(1), dx2.sum(1)], axis=-1
             )
+        # Scatter-free segment sum for ALL levels at once: XLA:TPU
+        # scatter_add serializes per update (~80 ms/level at batch scale);
+        # on TPU this is L 2-operand sorts + ONE Pallas dynamic-length
+        # tile-reduce launch (ops/segment_tile.py), on CPU native scatter.
+        d_tables = segment_dense_sum_multi(idx_flat, upd_flat, table_rows)
         return (
             tuple(d_tables),
             d_x,

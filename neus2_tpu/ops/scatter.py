@@ -91,3 +91,29 @@ def segment_dense_sum(
         prev = jnp.concatenate([jnp.zeros((1,), dense_cum.dtype), dense_cum[:-1]])
         outs.append(dense_cum - prev)
     return jnp.stack(outs, axis=-1)
+
+
+def segment_dense_sum_multi(
+    idx_list,  # length-L list of (M,) int32, idx_list[l] in [0, sizes[l])
+    upd_list,  # length-L list of (M, F) f32 (same M, F across levels)
+    sizes,  # per-level table rows
+    method: str = "auto",
+):
+    """All hashgrid levels' segment sums in one call -> list of (sizes[l], F).
+
+    On TPU ("packed"): L per-level 2-operand sorts (values ride packed as
+    bf16 pairs — the reference's fp16-atomics precision, grid.h:1428-1439)
+    + ONE Pallas dynamic-length tile-reduce kernel covering every level,
+    dense and hashed alike (ops/segment_tile.py segment_sum_all_levels).
+    Measured 14-level full scale (2M upd -> 2^19 rows): 117 ms vs 149 ms
+    for the per-level auto paths.  On CPU: native scatter (exact fp32)."""
+    if method == "auto":
+        method = "scatter" if _on_cpu() else "packed"
+    if method == "packed":
+        from neus2_tpu.ops.segment_tile import segment_sum_all_levels
+
+        return segment_sum_all_levels(idx_list, upd_list, list(sizes))
+    return [
+        segment_dense_sum(i, u, s, method=method)
+        for i, u, s in zip(idx_list, upd_list, sizes)
+    ]
