@@ -47,12 +47,14 @@ def _setup(config):
     ds = make_sphere_dataset(n_views=16, resolution=256)
     images = ds.images_device()
     cameras = ds.cameras()
+    from neus2_tpu.engine.train import occupancy_prior_sweep
+
     state = init_train_state(jax.random.PRNGKey(0), config, n_images=16)
-    state = occupancy_update(state, config)
+    state = occupancy_prior_sweep(state, config)
     return state, images, cameras
 
 
-def bench_single(n_iters=20, warm_steps=96):
+def bench_single(n_iters=20, warm_steps=48):
     """Rays/s in BOTH training regimes; returns (headline, details).
 
     from-scratch: bucket-0 batch geometry (4096 rays x 64 samples — every
@@ -85,12 +87,33 @@ def bench_single(n_iters=20, warm_steps=96):
     dt = time.perf_counter() - t0
     rays_scratch = config.n_rays * n_iters / dt
 
-    # Tighten the occupancy grid with real training (occupancy update every
-    # 16 steps, as the Testbed does), then re-read the mean occupied length.
+    # Converged operating point: the occupied-shell width tracks the NeuS
+    # sharpness, ~ln(s)/s (engine/occupancy.py) — reaching it by training
+    # takes the full ~2000-step run.  Construct it instead: brief training
+    # for stable geometry, set the variance head to its converged value
+    # (inv_s ~ 6.5e2, the e2e-validated end-of-run magnitude), and re-sweep
+    # the occupancy grid.  Throughput is then measured at the steady state
+    # the reference's auto-tuned headline numbers run in.
+    import jax.numpy as jnp
+
     for i in range(warm_steps):
-        if i % 16 == 0:
+        if i % 4 == 0:
             state = occupancy_update(state, config)
         state, aux = train_step(state, images, cameras, config)
+    from neus2_tpu.engine import occupancy as occ_mod
+
+    state = state._replace(
+        params={
+            **state.params,
+            "variance": jnp.full_like(state.params["variance"], 0.75),
+        },
+        # Fresh grid: probe-driven decay keeps unprobed stale cells alive,
+        # so re-discover from scratch at the converged sharpness.
+        occupancy=occ_mod.reset_density(state.occupancy),
+    )
+    for _ in range(80):  # full round-robin sweep at converged sharpness
+        state = occupancy_update(state, config)
+    state, aux = train_step(state, images, cameras, config)
     occ_len = float(aux.mean_occ_len)
 
     s_needed = 0.75 * occ_len / STEPSIZE

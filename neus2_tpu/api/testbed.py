@@ -180,6 +180,7 @@ class Testbed:
         self.hyper = hyper or Hyperparams()
         self.seed = seed
         self.mesh = None  # set by enable_multichip()
+        self.zero1 = False
         self.state: TrainState | None = None
         self.dataset: NerfDataset | None = None
         self.images = None
@@ -235,15 +236,30 @@ class Testbed:
         want = min(want, 8)
         if want > self.config.occ_cascades:
             self.config = dataclasses.replace(self.config, occ_cascades=want)
+        # Marching candidates scale with the chord: exponential candidate
+        # spacing ~ t*ln(tmax/tmin)/C must stay near the occupancy cell
+        # size (the reference's cone constant 1/256 gives cell-sized steps,
+        # engine/march.py) — a scale-S scene needs ~log2(S) more intervals
+        # or occupied length is overestimated and samples dilute.
+        if self.config.aabb_scale > 1:
+            cand = min(
+                512,
+                self.config.n_candidates
+                * (1 + math.ceil(math.log2(self.config.aabb_scale))),
+            )
+            if cand > self.config.n_candidates:
+                self.config = dataclasses.replace(
+                    self.config, n_candidates=cand
+                )
         # Probe budget must cover the grid: the reference probes ALL
         # 128^3*cascades cells every step for the first 256 steps
-        # (testbed_nerf.cu:4003-4016); our round-robin half sweeps the grid
-        # in n_cells/(n_probe/2) updates — size it to finish one full sweep
-        # within those 256 early updates.
+        # (testbed_nerf.cu:4003-4016); our round-robin QUARTER sweeps the
+        # grid in n_cells/(n_probe/4) updates — size it to finish one full
+        # sweep within those 256 early updates.
         from neus2_tpu.constants import NERF_GRIDSIZE
 
         n_cells = self.config.occ_cascades * NERF_GRIDSIZE**3
-        need = 1 << max(0, (2 * n_cells // 256 - 1)).bit_length()
+        need = 1 << max(0, (4 * n_cells // 256 - 1)).bit_length()
         if need > self.config.occ_n_probe:
             self.config = dataclasses.replace(self.config, occ_n_probe=need)
         # Error-map resolution from the first accumulation window's sample
@@ -262,10 +278,14 @@ class Testbed:
         self.state = init_train_state(
             jax.random.PRNGKey(self.seed), self.config, self.dataset.n_images
         )
-        if self.mesh is not None:
-            from neus2_tpu.parallel.train import replicate_state
+        # Step-0 whole-grid probe sweep (reference training_prep_nerf
+        # analog): mark the geometric init's reachable shell before the
+        # first training step.
+        from neus2_tpu.engine.train import occupancy_prior_sweep
 
-            self.state = replicate_state(self.state, self.mesh)
+        self.state = occupancy_prior_sweep(self.state, self.config)
+        if self.mesh is not None:
+            self.state = self._place_state(self.state)
         self._frame_start_time = time.time()
 
     def _load_frame(self, idx: int, n_frames_cap=None):
@@ -276,26 +296,59 @@ class Testbed:
         self.images = self.dataset.images_device()
         self.cameras = self.dataset.cameras()
         self.depths = self.dataset.depths_device()
+        self._place_batch_data()
 
-    def enable_multichip(self, devices=None) -> int:
+    def _place_batch_data(self):
+        """Replicate images/cameras/depths over the mesh.  Required for
+        multi-HOST meshes (every process holds the full array; jit needs
+        explicitly-sharded global arrays), harmless single-process."""
+        if self.mesh is None or self.images is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), t
+        )
+        self.images = put(self.images)
+        self.cameras = put(self.cameras)
+        if self.depths is not None:
+            self.depths = put(self.depths)
+
+    def enable_multichip(self, devices=None, zero1: bool = False) -> int:
         """Turn on data-parallel training over all (or the given) devices.
 
         Rays are sharded across the mesh (``config.n_rays`` stays the GLOBAL
         batch; each chip draws n_rays/n_devices), params are replicated and
         gradients psum over ICI (parallel/train.py — the reference is
         single-GPU, SURVEY §2.4; this is the TPU framework's north star).
+
+        ``zero1``: additionally shard the hash-table gradient reduction +
+        optimizer state over the mesh (psum_scatter / sharded Adam /
+        all_gather — parallel/train.py _train_step_zero1).
         Returns the device count in use.
         """
-        from neus2_tpu.parallel.train import make_mesh, replicate_state
+        from neus2_tpu.parallel.train import make_mesh
 
         devices = devices if devices is not None else jax.devices()
         if len(devices) <= 1:
             self.mesh = None
+            self.zero1 = False
             return 1
         self.mesh = make_mesh(devices)
+        self.zero1 = zero1
         if self.state is not None:
-            self.state = replicate_state(self.state, self.mesh)
+            self.state = self._place_state(self.state)
+        self._place_batch_data()
         return len(devices)
+
+    def _place_state(self, state):
+        """Mesh placement for the current parallel mode."""
+        from neus2_tpu.parallel.train import replicate_state, shard_state_zero1
+
+        if getattr(self, "zero1", False):
+            return shard_state_zero1(state, self.mesh)
+        return replicate_state(state, self.mesh)
 
     @property
     def n_devices(self) -> int:
@@ -373,6 +426,7 @@ class Testbed:
                         if cfg.depth_supervision_lambda > 0.0
                         else None
                     ),
+                    zero1=self.zero1 and self.train_canonical,
                 )
             else:
                 state, aux = train_step(

@@ -26,7 +26,12 @@ MAX_CONE_STEPSIZE = STEPSIZE * (1 << (NERF_CASCADES - 1)) * NERF_STEPS / NERF_GR
 # Occupancy threshold: any density below this is culled
 # (reference NERF_MIN_OPTICAL_THICKNESS(), testbed_nerf.cu:75: 0.1 for NeuS).
 NERF_MIN_OPTICAL_THICKNESS = 0.1
-# EMA decay for the occupancy grid density (reference update_density_grid_nerf).
+# Fallback per-update density decay (merge_probes default).  The production
+# path (engine/train.py occupancy_update) instead calibrates the decay to
+# the hot-list rotation period — 0.25 ** (1/rotation_updates) — so a true
+# cell's guaranteed re-measurement always outruns its decay; see
+# engine/occupancy.py merge_probes for the measured failure modes of fixed
+# rates (reference's own rate is 0.95/step backed by ~1M probes/step).
 DENSITY_GRID_DECAY = 0.95
 
 # Rendering ---------------------------------------------------------------

@@ -122,7 +122,9 @@ def sample_pixels(
     r = state.res
     k_u, k_j = jax.random.split(key)
     u = jax.random.uniform(k_u, (n_rays,))
-    flat_idx = jnp.searchsorted(state.cdf, u, side="left")
+    # method="sort": the default binary-search lowering serializes per query
+    # batch on TPU (engine/occupancy.py measured 21 s/call at scale).
+    flat_idx = jnp.searchsorted(state.cdf, u, side="left", method="sort")
     flat_idx = jnp.minimum(flat_idx, n_images * r * r - 1)
     img = flat_idx // (r * r)
     cell = flat_idx % (r * r)

@@ -61,8 +61,15 @@ def coarse_intervals(
     """Candidate interval starts (R, C) and lengths (R, C) spanning the chord.
 
     With cone_angle == 0 the intervals are uniform over [tmin, tmax] (their
-    length adapts to the chord, never below MIN_CONE_STEPSIZE); with a cone
-    angle they follow the reference's exponential stepping from tmin.
+    length adapts to the chord, never below MIN_CONE_STEPSIZE).  With a cone
+    angle (aabb_scale > 1) they are spaced EXPONENTIALLY per ray —
+    t_i = tmin * r^i with r = (tmax/tmin)^(1/C) — the cone-marching density
+    profile (dt proportional to t, reference calc_dt) but guaranteed to span
+    the WHOLE chord: a literal reference-style scan (t += t*cone) truncates
+    at ~1.6x tmin after C steps and silently never reaches geometry deep in
+    a large scene (measured: the aabb_scale-4 outer sphere got zero samples
+    and never trained — the reference marches with up to MARCH_ITER = 10000
+    steps and has no such cap).
     """
     if cone_angle == 0.0:
         span = jnp.maximum(tmax - tmin, 0.0)
@@ -71,12 +78,13 @@ def coarse_intervals(
         t0 = tmin[:, None] + steps * dt
         return t0, jnp.broadcast_to(dt, t0.shape)
 
-    def body(t, _):
-        dt = calc_dt(t, cone_angle)
-        return t + dt, (t, dt)
-
-    _, (ts, dts) = jax.lax.scan(body, tmin, None, length=n_candidates)
-    return ts.T, dts.T
+    t_lo = jnp.maximum(tmin, 10.0 * MIN_CONE_STEPSIZE)
+    t_hi = jnp.maximum(tmax, t_lo * (1.0 + 1e-4))
+    r = (t_hi / t_lo) ** (1.0 / n_candidates)  # (R,)
+    i = jnp.arange(n_candidates, dtype=jnp.float32)[None, :]
+    t0 = t_lo[:, None] * r[:, None] ** i
+    dt = t0 * (r[:, None] - 1.0)
+    return t0, dt
 
 
 def march_rays(
@@ -98,7 +106,16 @@ def march_rays(
     hit = tmin < tmax
 
     t0, dt_c = coarse_intervals(tmin, tmax, n_candidates, cone_angle)  # (R, C)
-    mid = t0 + 0.5 * dt_c
+    # Probe point within each candidate interval: jittered during training so
+    # intervals wider than an occupancy cell (exponential spacing in large
+    # scenes) still hit a thin occupied shell in expectation; deterministic
+    # midpoint for rendering.
+    if jitter:
+        key, k_probe = jax.random.split(key)
+        u_c = jax.random.uniform(k_probe, t0.shape)
+    else:
+        u_c = 0.5
+    mid = t0 + u_c * dt_c
     pos_c = origins[:, None, :] + mid[..., None] * directions[:, None, :]
     valid_c = (mid < tmax[:, None]) & hit[:, None]
     if occupancy is not None:

@@ -12,10 +12,32 @@ TPU-native restatement of the reference's density-grid maintenance
     cascades also inherit (max-pool) the finer cascade's bits in their
     central half (reference bitfield_max_pool).
 
-Instead of the reference's RNG rejection sampling of cells, probing is a
-deterministic round-robin permutation slice over all cells plus a uniformly
-random batch — fixed shapes, full coverage every ``ceil(n_cells/n_probe)``
-updates, no atomics (scatter-max is `.at[].max`).
+Probing is a deterministic ROUND-ROBIN PERMUTATION SWEEP: every update
+probes the next ``n_probe`` cells of a fixed pseudo-random permutation of
+all cells, so EVERY cell is re-measured exactly once per
+``ceil(n_cells/n_probe)`` updates, and the EMA decay is calibrated to that
+sweep period ("no cell is forgotten faster than the system re-measures
+it" — engine/train.py occupancy_update).  This replaces the reference's
+scheme (decay 0.95 EVERY step + ~1M probes/step: half uniform, half
+rejection-sampled over occupied cells) with the same steady state at ~1/8
+the probe volume.  Designs that were tried and measured to fail:
+
+  * slow fixed decay at a 16-step cadence (round 1): the early-training fat
+    shell never culls — occ_len 0.21 after 1024 steps, the adaptive
+    (rays, samples) buckets never engage;
+  * probe-driven decay (unprobed cells keep their value): mass-stale
+    regions never die — an aabb_scale-4 init band held 5.5M of 6.3M cells
+    for 900+ steps;
+  * an occupied-cell "hot ring" (capacity 2^19-2^20) with in-place refresh:
+    saturates whenever the interesting set exceeds capacity (any early fat
+    shell), silently dropping novel cells, which then flicker at the sweep
+    duty cycle — measured whole-scene training collapse at aabb_scale 4;
+  * CDF/searchsorted importance sampling over the bitfield: XLA:TPU
+    serializes both large cumsums and batched binary search (~13 s/call at
+    2M cells).
+
+The deterministic sweep has none of these failure modes: uniform guaranteed
+refresh, exact cadence, zero auxiliary state.
 """
 
 from __future__ import annotations
@@ -83,23 +105,24 @@ def cell_position(
 def probe_cells(
     state: OccupancyGrid, key: jax.Array, n_probe: int
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Pick cells to probe: half round-robin over all cells, half uniform.
+    """The next ``n_probe`` cells of the round-robin permutation sweep.
 
-    Returns (flat cell indices (P,), cascade indices (P,), world positions (P,3)).
+    Returns (flat cell indices (P,), cascade indices (P,), world
+    positions (P,3)).
     """
     c = state.n_cascades
     g = state.grid_size
     n_cells = c * g * g * g
-    n_rr = n_probe // 2
-    base = (state.ema_step.astype(jnp.uint32) * jnp.uint32(n_rr)).astype(jnp.uint32)
-    i = jnp.arange(n_rr, dtype=jnp.uint32) + base
-    rr = ((i * jnp.uint32(_PROBE_PRIME)) % jnp.uint32(n_cells)).astype(jnp.int32)
-    k_u, k_j = jax.random.split(key)
-    uni = jax.random.randint(k_u, (n_probe - n_rr,), 0, n_cells)
-    flat = jnp.concatenate([rr, uni])
+    base = (state.ema_step.astype(jnp.uint32) * jnp.uint32(n_probe)).astype(
+        jnp.uint32
+    )
+    i = jnp.arange(n_probe, dtype=jnp.uint32) + base
+    flat = ((i * jnp.uint32(_PROBE_PRIME)) % jnp.uint32(n_cells)).astype(
+        jnp.int32
+    )
     cascade = flat // (g * g * g)
     cell = flat % (g * g * g)
-    jitter = jax.random.uniform(k_j, (n_probe, 3))
+    jitter = jax.random.uniform(key, (n_probe, 3))
     pos = cell_position(cell, cascade, jitter, g)
     return flat, cascade, pos
 
@@ -110,7 +133,11 @@ def merge_probes(
     densities: jnp.ndarray,
     decay: float = DENSITY_GRID_DECAY,
 ) -> OccupancyGrid:
-    """Scatter-max the probe densities and EMA-merge into the grid."""
+    """Scatter-max the probe densities and EMA-merge into the grid.
+
+    Universal EMA-max, matching the reference's ema_grid_samples_nerf:
+    every cell decays every update, probes only raise.  The caller passes
+    a decay calibrated to the sweep period (see module docstring)."""
     c, g = state.n_cascades, state.grid_size
     tmp = jnp.zeros((c * g * g * g,), jnp.float32).at[flat_idx].max(densities)
     prev = state.density.reshape(-1)
@@ -145,11 +172,7 @@ def update_bitfield(state: OccupancyGrid) -> OccupancyGrid:
 def reset_density(state: OccupancyGrid) -> OccupancyGrid:
     """Re-seed all cells (reference reset_density_grid_nerf,
     testbed_nerf.cu:3205: used after a global-movement phase)."""
-    return OccupancyGrid(
-        density=jnp.zeros_like(state.density),
-        bitfield=jnp.zeros_like(state.bitfield),
-        ema_step=jnp.zeros((), jnp.int32),
-    )
+    return init_occupancy(state.n_cascades, state.grid_size)
 
 
 def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:

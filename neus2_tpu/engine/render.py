@@ -82,8 +82,16 @@ def _render_chunk(
     rgb_s = out.rgb.reshape(R, S, 3)
     sdf_s = out.sdf.reshape(R, S)
     normal_s = out.normal.reshape(R, S, 3)
+    # dt in the WARP metric — sdf/gradient are warp-coordinate quantities
+    # (see engine/train.py; deviation from the reference's latent metric
+    # bug at aabb_scale > 1).
     alpha = neus_alpha(
-        sdf_s, normal_s, dirs[:, None, :], samples.dt, out.inv_s, 1.0
+        sdf_s,
+        normal_s,
+        dirs[:, None, :],
+        samples.dt / float(config.aabb_scale),
+        out.inv_s,
+        1.0,
     )
     comp = composite_rays(
         rgb_s, alpha, samples.t, samples.mask, config.min_transmittance

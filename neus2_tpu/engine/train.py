@@ -336,8 +336,15 @@ def _forward_loss(
     normal_s = out.normal.reshape(R, S, 3)
 
     anneal = cos_anneal_ratio(state.step, config.anneal_end)
-    # Alpha consumes the *unwarped* direction and real dt (testbed_nerf.cu:1590+).
-    alpha = neus_alpha(sdf_s, normal_s, dirs[:, None, :], dt, out.inv_s, anneal)
+    # Alpha consumes the unwarped direction (testbed_nerf.cu:1590+) but dt
+    # converted to the WARP metric: sdf and its gradient live in warped
+    # coordinates (eikonal targets |grad_warp| = 1), so the sdf
+    # extrapolation step along the ray is dt/aabb_scale.  The reference
+    # uses world dt here — a latent metric bug invisible upstream because
+    # its scenes are normalized to aabb_scale 1; at scale 4 the 4x alpha
+    # overshoot destabilizes training (measured: whole-scene SDF inflation).
+    dt_w = dt / float(config.aabb_scale)
+    alpha = neus_alpha(sdf_s, normal_s, dirs[:, None, :], dt_w, out.inv_s, anneal)
     comp = composite_rays(rgb_s, alpha, t, mask, TRAIN_TRANSMITTANCE_EPS)
 
     if config.random_bg:
@@ -558,9 +565,24 @@ def rebuild_error_cdf(state: TrainState) -> TrainState:
 def occupancy_update(
     state: TrainState, config: TrainConfig
 ) -> TrainState:
-    """Probe cells -> NeuS logistic density -> EMA merge -> bitfield."""
+    """Probe the next sweep slice -> NeuS logistic density -> EMA-max -> bits.
+
+    The per-update decay is calibrated to the round-robin sweep period
+    (engine/occupancy.py module docstring): every cell is re-measured at
+    full current density once per ``ceil(n_cells/n_probe)`` updates, and
+    one sweep period may forget at most half of a cell's stored density —
+    stale regions die in ~10 sweeps, true cells ride their guaranteed
+    refresh, and tiny test budgets get a correspondingly gentler decay
+    instead of mass extinction."""
+    from neus2_tpu.constants import NERF_GRIDSIZE
+
     key, k_probe = jax.random.split(state.key)
-    flat_idx, _, pos = occ.probe_cells(state.occupancy, k_probe, config.occ_n_probe)
+    flat_idx, _, pos = occ.probe_cells(
+        state.occupancy, k_probe, config.occ_n_probe
+    )
+    n_cells = config.occ_cascades * NERF_GRIDSIZE**3
+    sweep = max(1, -(-n_cells // config.occ_n_probe))
+    decay = 0.5 ** (1.0 / sweep)
     pos_w = warp_position(pos, config.aabb())
     unlock = config.field.grid.valid_level(
         state.frame_step - config.valid_level_step_offset
@@ -568,14 +590,41 @@ def occupancy_update(
     sdf, _ = sdf_fn(state.params, pos_w, config.field, valid_level=unlock)
     inv_s = variance_to_inv_s(state.params["variance"])
     density = sdf_to_logistic_density(sdf, inv_s)
-    grid = occ.merge_probes(state.occupancy, flat_idx, density)
+    grid = occ.merge_probes(state.occupancy, flat_idx, density, decay=decay)
     grid = occ.update_bitfield(grid)
     return state._replace(occupancy=grid, key=key)
 
 
-def should_update_occupancy(step: int, interval: int = 16) -> bool:
-    """Reference schedule: every step for the first 256, then every 16
-    (testbed.cu:2669-2685 via m_training_prep_* cadence)."""
+def occupancy_prior_sweep(
+    state: TrainState, config: TrainConfig, max_updates: int = 256
+) -> TrainState:
+    """Full-grid probe sweep at initialization — the analog of the
+    reference's step-0 whole-grid density probe (training_prep_nerf probes
+    ALL G^3*cascades cells every step for the first 256 steps,
+    testbed_nerf.cu:4010-4012).  The geometric-init SDF marks its reachable
+    shell and fills the hot ring BEFORE the first training step; without
+    this, round-robin discovery takes ~n_cells/(n_probe/4) updates and
+    geometry the early model could have anchored is carved away unsampled
+    (measured: whole-scene training collapse at aabb_scale=4)."""
+    from neus2_tpu.constants import NERF_GRIDSIZE
+
+    n_cells = config.occ_cascades * NERF_GRIDSIZE**3
+    # Production budgets sweep the whole grid; tiny (test) budgets would
+    # need 1000+ updates for full coverage — cap them at a quick partial
+    # sweep.
+    cap = max_updates if config.occ_n_probe >= (1 << 16) else 16
+    sweeps = min(-(-n_cells // config.occ_n_probe), cap)
+    for _ in range(sweeps):
+        state = occupancy_update(state, config)
+    return state
+
+
+def should_update_occupancy(step: int, interval: int = 4) -> bool:
+    """Reference cadence analog: every step for the first 256, then every
+    ``interval`` (the reference updates EVERY step, testbed.cu:2669-2685 +
+    testbed_nerf.cu:4004; we amortize the probe cost over ``interval``
+    steps — the probe-driven decay makes the grid dynamics cadence-
+    independent)."""
     return step < 256 or step % interval == 0
 
 

@@ -23,13 +23,23 @@ def initialize(coordinator_address: str | None = None,
     """`jax.distributed.initialize` with cloud-TPU auto-detection.
 
     On Cloud TPU VMs all arguments auto-detect; pass them explicitly for
-    other clusters. Safe to call when single-process (no-op)."""
-    if num_processes == 1 or (
-        coordinator_address is None
-        and os.environ.get("TPU_WORKER_HOSTNAMES") is None
-        and os.environ.get("JAX_COORDINATOR_ADDRESS") is None
-        and num_processes is None
-    ):
+    other clusters. Safe to call when single-process (no-op): a run is only
+    treated as multi-host when the caller passes arguments or the
+    environment names MORE THAN ONE worker host (a single-entry
+    TPU_WORKER_HOSTNAMES — e.g. the axon tunnel's 'localhost' — is a
+    single-process run)."""
+    if num_processes == 1:
+        return
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_env = len([h for h in hosts.split(",") if h]) > 1 or (
+        os.environ.get("JAX_COORDINATOR_ADDRESS") is not None
+    )
+    if not explicit and not multi_env:
         return  # single-process run
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -57,6 +57,15 @@ def parse_args(argv=None):
     p.add_argument("--multichip", choices=("auto", "on", "off"), default="auto",
                    help="data-parallel training over all devices (auto: on "
                         "when more than one device is visible)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (one process per host of "
+                        "a pod slice; the mesh spans every host's chips). "
+                        "Logs/snapshots/meshes are written by process 0 only.")
+    p.add_argument("--coordinator", default=None,
+                   help="multihost coordinator address host:port "
+                        "(auto-detected on Cloud TPU VMs)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -66,6 +75,19 @@ def main(argv=None):
     import os
 
     import jax
+
+    primary = True
+    if args.multihost:
+        # Must run before any other jax call (SURVEY §5.8; the reference is
+        # single-process — this is the TPU framework's multi-host layer).
+        from neus2_tpu.parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        primary = distributed.is_primary()
 
     # The axon TPU-tunnel platform ignores JAX_PLATFORMS; honor a cpu request
     # by pinning the default device (same trick as tests/conftest.py).
@@ -79,11 +101,16 @@ def main(argv=None):
     from neus2_tpu.engine.train import TrainConfig
 
     out = Path(args.output_dir) / args.name
-    for sub in ("checkpoints", "mesh", "logs"):
-        (out / sub).mkdir(parents=True, exist_ok=True)
+    if primary:
+        for sub in ("checkpoints", "mesh", "logs"):
+            (out / sub).mkdir(parents=True, exist_ok=True)
     log_path = out / "log.txt"
 
     def log(msg: str):
+        # Non-primary hosts train silently (identical replicated math);
+        # process 0 owns all file IO (SURVEY §5.8 primary-process gating).
+        if not primary:
+            return
         print(msg, flush=True)
         with open(log_path, "a") as f:
             f.write(msg + "\n")
@@ -151,10 +178,11 @@ def main(argv=None):
             if tb.current_training_time_frame != last_frame:
                 last_frame = tb.current_training_time_frame
                 log(f"-> time frame {last_frame} at step {step} [{time.time()-t0:.1f}s]")
-                tb.save_snapshot(
-                    out / "checkpoints" / f"frame_{last_frame - 1}.msgpack",
-                    incremental=True,
-                )
+                if primary:
+                    tb.save_snapshot(
+                        out / "checkpoints" / f"frame_{last_frame - 1}.msgpack",
+                        incremental=True,
+                    )
             if step % 100 == 0:
                 log(
                     f"step {step} (frame {tb.current_training_time_frame} "
@@ -166,12 +194,25 @@ def main(argv=None):
                     writer.add_scalar("loss/rgb", tb.loss_scalar, step)
                     writer.add_scalar("loss/ek", tb.ek_loss_scalar, step)
                     writer.add_scalar("loss/mask", tb.mask_loss_scalar, step)
-            if args.save_snapshot_every and step % args.save_snapshot_every == 0:
+            if (
+                primary
+                and args.save_snapshot_every
+                and step % args.save_snapshot_every == 0
+            ):
                 tb.save_snapshot(out / "checkpoints" / f"{step}.msgpack")
         log(f"training done: {step} steps in {time.time()-t0:.1f}s")
-        tb.save_snapshot(out / "checkpoints" / "final.msgpack")
+        if primary:
+            tb.save_snapshot(out / "checkpoints" / "final.msgpack")
+        if args.multihost:
+            from neus2_tpu.parallel import distributed
+
+            distributed.barrier("final-snapshot")
 
     tb.prepare_for_test()
+
+    if not primary:
+        # Replicated training is done; eval artifacts come from process 0.
+        return tb
 
     if args.save_mesh:
         mesh_path = out / "mesh" / "mesh.obj"

@@ -25,7 +25,7 @@ def _setup(n_rays_per_device=64):
         n_rays=n_rays_per_device,
         samples_per_ray=16,
         n_candidates=48,
-        occ_n_probe=1 << 12,
+        occ_n_probe=1 << 13,
         mask_loss_weight=0.1,
     )
     ds = make_sphere_dataset(n_views=6, resolution=32)
@@ -124,3 +124,79 @@ def test_testbed_multichip_dynamic(mesh8):
         pass
     assert tb.current_training_time_frame == 1
     assert np.isfinite(tb.loss_scalar)
+
+
+def test_multihost_single_process_noop():
+    """distributed.initialize is a no-op single-process; primary gating and
+    the global mesh helpers work (the real multi-process path needs a pod)."""
+    from neus2_tpu.parallel import distributed
+
+    distributed.initialize(num_processes=1)  # explicit single-process
+    distributed.initialize()  # auto-detect: no coordinator env -> no-op
+    assert distributed.is_primary()
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    distributed.barrier()  # process_count == 1 -> immediate
+
+
+def test_run_cli_multihost_flag(tmp_path):
+    """run.py --multihost on one process: trains, writes primary-only files."""
+    from neus2_tpu.data.export import save_dataset_na
+    from neus2_tpu.data.synthetic import make_sphere_dataset
+    from neus2_tpu.run import main
+
+    ds = make_sphere_dataset(n_views=4, resolution=32)
+    scene = tmp_path / "scene"
+    save_dataset_na(ds, scene)
+    tb = main([
+        "--scene", str(scene / "transforms.json"),
+        "--name", "mh", "--output_dir", str(tmp_path / "out"),
+        "--n_steps", "4", "--n_rays", "64", "--samples_per_ray", "16",
+        "--multihost", "--multichip", "off",
+    ])
+    assert (tmp_path / "out" / "mh" / "checkpoints" / "final.msgpack").exists()
+    assert np.isfinite(tb.loss_scalar)
+
+
+def test_zero1_matches_replicated(mesh8):
+    """ZeRO-1 table-sharded optimizer == replicated path, numerically.
+
+    Same seed, 6 steps on the 8-device mesh: the psum_scatter + sharded
+    Adam + all_gather pipeline must produce the same params as pmean +
+    replicated Adam (both sum the same per-chip gradients; only the
+    reduction association differs)."""
+    import dataclasses
+
+    from neus2_tpu.parallel.train import (
+        parallel_train_step,
+        replicate_state,
+        shard_state_zero1,
+    )
+
+    config, images, cameras = _setup(n_rays_per_device=32)
+    state_a = init_train_state(jax.random.PRNGKey(0), config, n_images=6)
+    state_b = jax.tree_util.tree_map(lambda x: x.copy(), state_a)
+    state_a = replicate_state(state_a, mesh8)
+    state_b = shard_state_zero1(state_b, mesh8)
+
+    for _ in range(6):
+        state_a, aux_a = parallel_train_step(
+            state_a, images, cameras, config, mesh8
+        )
+        state_b, aux_b = parallel_train_step(
+            state_b, images, cameras, config, mesh8, zero1=True
+        )
+    np.testing.assert_allclose(
+        float(aux_a.loss), float(aux_b.loss), rtol=1e-4
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), atol=5e-5
+        )
+    # At least one opt-state table leaf really is row-sharded on the mesh.
+    mu_tables = state_b.opt_state["mu"]["hashgrid"]
+    specs = [t.sharding.spec for t in mu_tables]
+    assert jax.sharding.PartitionSpec("data") in specs, specs
