@@ -169,16 +169,14 @@ def test_aabb_scale4_scene_trains():
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    strict=False,
-    reason="Fine SDF convergence of small OUT-OF-CUBE geometry is unstable: "
-    "the object subtends few pixels, and its sparse anchor rays fight the "
-    "dominant background supervision (tracked in NEXT.md).  The upstream "
-    "reference never exercises NeuS SDF geometry outside the unit box — its "
-    "aabb_scale>1 cascades serve instant-ngp-style background density.",
-)
 def test_aabb_scale4_outer_sphere_converges():
-    """Full SDF convergence of the out-of-cube sphere (aspirational)."""
+    """Full SDF convergence of the out-of-cube sphere.
+
+    This was impossible before the warp-metric dt fix in neus_alpha
+    (engine/train.py): the reference's formula plugs WORLD dt into a
+    warp-metric sdf extrapolation — a latent bug invisible upstream (its
+    scenes are normalized to aabb_scale 1) that inflates alpha 4x at scale
+    4 and bulldozes all geometry."""
     ds = make_multi_sphere_dataset(
         spheres=[
             (np.array([0.5, 0.5, 0.5], np.float32), 0.25),
