@@ -121,8 +121,8 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _encoder(grid_config: HashGridConfig):
-    return make_encode_jac(grid_config)
+def _encoder(grid_config: HashGridConfig, compute_dtype=None):
+    return make_encode_jac(grid_config, compute_dtype=compute_dtype)
 
 
 def effective_grid_tables(params: Params) -> tuple:
@@ -152,7 +152,7 @@ def freeze_grid_into_base(params: Params) -> Params:
 
 def _raw_sdf_mlp(params: Params, sdf_mlp: Params, x: jnp.ndarray, config: FieldConfig,
                  valid_level, max_level) -> jnp.ndarray:
-    enc, _ = _encoder(config.grid)(
+    enc, _ = _encoder(config.grid, config.compute_dtype)(
         effective_grid_tables(params), x, valid_level, max_level
     )
     inp = jnp.concatenate([x, enc], axis=-1)
@@ -225,7 +225,7 @@ def sdf_normal_features(
     Only the tiny SDF MLP is linearized (forward-mode), which is cheap and
     twice-differentiable.
     """
-    enc, jac = _encoder(config.grid)(
+    enc, jac = _encoder(config.grid, config.compute_dtype)(
         effective_grid_tables(params), x, valid_level, max_level
     )
     inp = jnp.concatenate([x, enc], axis=-1)

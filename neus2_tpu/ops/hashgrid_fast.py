@@ -97,9 +97,14 @@ def _level_indices(pos_grid, config: HashGridConfig, lvl, resolutions, sizes, us
     return jnp.stack(idx, axis=-1)  # (N, 8)
 
 
-def make_encode_jac(config: HashGridConfig):
+def make_encode_jac(config: HashGridConfig, compute_dtype=None):
     """Returns encode_jac(tables, positions, valid_level, max_level) ->
     (feat, jac).
+
+    ``compute_dtype=jnp.bfloat16`` runs the BACKWARD contraction einsums in
+    bf16 with fp32 accumulation — the reference caches and contracts its
+    dy_dx tensor in fp16 (grid.h:372-1250), so this loses no parity
+    precision; forward features/Jacobian stay fp32.
 
     feat (N, L*F); jac (N, 3, L*F) = d feat / d positions.
     ``valid_level``: traced scalar; level l outputs zeros when l > valid_level
@@ -155,6 +160,9 @@ def make_encode_jac(config: HashGridConfig):
         feat, jac, residuals = _fwd_compute(tables, positions, valid_level, max_level)
         return (feat, jac), (residuals, [t.shape[0] for t in tables], max_level)
 
+    bw_dt = compute_dtype or jnp.float32
+    ein = partial(jnp.einsum, preferred_element_type=jnp.float32)
+
     def _encode_bwd(res, cts):
         residuals, table_rows, max_level = res
         ct_feat, ct_jac = cts  # (N, L*F), (N, 3, L*F)
@@ -165,22 +173,28 @@ def make_encode_jac(config: HashGridConfig):
             w, dw, terms, signs = _weights_and_grads(frac, scales[l])
             ctf = ct_feat[:, l * F : (l + 1) * F] * gate  # (N,F)
             ctj = ct_jac[:, :, l * F : (l + 1) * F] * gate[:, None, :]  # (N,3,F)
+            # bf16 contraction operands under compute_dtype (fp32 accumulate;
+            # reference parity: the dy_dx cache is fp16, grid.h:372-1250).
+            vals_c = vals.astype(bw_dt)
+            dw_c = dw.astype(bw_dt)
+            ctf_c = ctf.astype(bw_dt)
+            ctj_c = ctj.astype(bw_dt)
 
             # --- d table: from both feat and jac outputs (grid.h:372, 881) ---
             upd = (
                 w[..., None] * ctf[:, None, :]
-                + jnp.einsum("ncj,njf->ncf", dw, ctj)
+                + ein("ncj,njf->ncf", dw_c, ctj_c)
             )  # (N,8,F)
             idx_flat.append(idx.reshape(-1))
             upd_flat.append(upd.reshape(-1, F))
 
             # --- d positions (grid.h:804 first order + 1010 second order) ---
             # dL/dx_j += sum_cf dw[n,c,j] * vals * ctf   (through feat)
-            vc = jnp.einsum("ncf,nf->nc", vals, ctf)  # (N,8)
-            d_x = d_x + jnp.einsum("nc,ncj->nj", vc, dw)
+            vc = ein("ncf,nf->nc", vals_c, ctf_c)  # (N,8)
+            d_x = d_x + ein("nc,ncj->nj", vc.astype(bw_dt), dw_c)
             # through jac: d/dx_k of dw[n,c,j]:
             # d2w[n,c,j,k] = sign_j sign_k * term_excl(j,k) * scale^2, 0 if j==k
-            vj = jnp.einsum("ncf,njf->ncj", vals, ctj)  # (N,8,3)
+            vj = ein("ncf,njf->ncj", vals_c, ctj_c)  # (N,8,3)
             s2 = scales[l] * scales[l]
             t0, t1, t2 = terms[..., 0], terms[..., 1], terms[..., 2]
             s0, s1, s2_ = signs[:, 0], signs[:, 1], signs[:, 2]

@@ -119,3 +119,28 @@ def test_max_level_gradients_flow():
     g = jax.grad(loss)(tables)
     total = sum(float(jnp.abs(t).sum()) for t in g)
     assert np.isfinite(total) and total > 0.0
+
+
+def test_bf16_backward_close_to_fp32():
+    """compute_dtype=bf16 backward (bf16 contraction operands, fp32
+    accumulation — the reference's fp16 dy_dx precision) stays within bf16
+    tolerance of the fp32 path."""
+    cfg = HashGridConfig(
+        n_levels=4, log2_hashmap_size=12, base_resolution=8, per_level_scale=1.5
+    )
+    tables = init_hashgrid_tables(jax.random.PRNGKey(0), cfg)
+    # Scale up table magnitudes so gradients are O(1).
+    tables = tuple(t * 1e4 for t in tables)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+
+    def loss(fn, tb, xx):
+        f, j = fn(tb, xx)
+        return jnp.sum(f**2) + jnp.sum(j**2)
+
+    f32 = make_encode_jac(cfg)
+    b16 = make_encode_jac(cfg, compute_dtype=jnp.bfloat16)
+    g32 = jax.grad(lambda tb, xx: loss(f32, tb, xx), argnums=(0, 1))(tables, x)
+    g16 = jax.grad(lambda tb, xx: loss(b16, tb, xx), argnums=(0, 1))(tables, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g32), jax.tree_util.tree_leaves(g16)):
+        denom = jnp.abs(a).max() + 1e-6
+        assert float(jnp.abs(a - b).max() / denom) < 2e-2

@@ -139,3 +139,40 @@ def test_large_m_accuracy():
     # Documented bound: absolute error < 0.05 (bf16 payload rounding of the
     # sorttile path is the same order).
     assert err < 0.05, err
+
+
+def test_segment_dense_sum_multi_matches_scatter():
+    """All-levels dispatcher == per-level scatter (CPU exact path), and the
+    packed Pallas path (interpret mode) matches to bf16 payload precision."""
+    import numpy as np
+
+    from neus2_tpu.ops.scatter import segment_dense_sum_multi
+    from neus2_tpu.ops.segment_tile import segment_sum_all_levels
+
+    rng = np.random.default_rng(3)
+    sizes = [512, 1728, 4096]
+    M, F = 4096, 2
+    idx_list = [
+        jnp.asarray(rng.integers(0, s, M), jnp.int32) for s in sizes
+    ]
+    upd_list = [
+        jnp.asarray(rng.normal(size=(M, F)).astype(np.float32))
+        for _ in sizes
+    ]
+    outs = segment_dense_sum_multi(idx_list, upd_list, sizes)  # auto: scatter
+    for l, s in enumerate(sizes):
+        ref = np.zeros((s, F), np.float32)
+        np.add.at(ref, np.asarray(idx_list[l]), np.asarray(upd_list[l]))
+        np.testing.assert_allclose(np.asarray(outs[l]), ref, atol=1e-4)
+
+    packed = segment_sum_all_levels(
+        idx_list, upd_list, sizes, row_block=256, chunk=256, interpret=True
+    )
+    for l, s in enumerate(sizes):
+        ref = np.zeros((s, F), np.float32)
+        u = np.asarray(
+            jnp.asarray(upd_list[l]).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        np.add.at(ref, np.asarray(idx_list[l]), u)
+        a = np.asarray(packed[l])
+        assert np.abs(a - ref).max() / (np.abs(ref).max() + 1e-9) < 1e-5
