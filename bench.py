@@ -107,8 +107,9 @@ def bench_single(n_iters=20, warm_steps=48):
             **state.params,
             "variance": jnp.full_like(state.params["variance"], 0.75),
         },
-        # Fresh grid: probe-driven decay keeps unprobed stale cells alive,
-        # so re-discover from scratch at the converged sharpness.
+        # Fresh grid: re-discover from scratch at the converged sharpness
+        # (one full permutation sweep) rather than waiting out the decay of
+        # the training-time shell.
         occupancy=occ_mod.reset_density(state.occupancy),
     )
     for _ in range(80):  # full round-robin sweep at converged sharpness

@@ -480,6 +480,15 @@ class Testbed:
         if desired != self.batch_bucket:
             self._bucket_votes += 1
             if self._bucket_votes >= 3:
+                b = desired
+                print(
+                    f"[neus2-tpu] adaptive batch bucket {self.batch_bucket}"
+                    f" -> {b}: {self.config.n_rays << b} rays x "
+                    f"{self.config.samples_per_ray >> b} samples "
+                    f"(occ_len {self._occ_len_ema:.3f}, step "
+                    f"{self.training_step})",
+                    flush=True,
+                )
                 self.batch_bucket = desired
                 self._bucket_votes = 0
         else:

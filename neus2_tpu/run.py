@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--multichip", choices=("auto", "on", "off"), default="auto",
                    help="data-parallel training over all devices (auto: on "
                         "when more than one device is visible)")
+    p.add_argument("--zero1", action="store_true",
+                   help="multichip: shard the hash-table gradient reduction "
+                        "and optimizer state over the mesh (ZeRO-1)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (one process per host of "
                         "a pod slice; the mesh spans every host's chips). "
@@ -141,9 +144,10 @@ def main(argv=None):
     if args.multichip == "on" or (
         args.multichip == "auto" and len(jax.devices()) > 1
     ):
-        n = tb.enable_multichip()
+        n = tb.enable_multichip(zero1=args.zero1)
         log(f"multichip: data-parallel over {n} devices "
-            f"({config.n_rays} rays/batch global)")
+            f"({config.n_rays} rays/batch global"
+            + (", zero1 table sharding" if args.zero1 else "") + ")")
     log(f"loading scene {args.scene}")
     try:
         tb.load_training_data(args.scene)

@@ -141,7 +141,7 @@ def main():
         rgb, depth, alpha = render_image(
             tb.state.ema_params, tb.state.acc, tb.state.occupancy,
             cams_all, cams_all.poses[k], cams_all.focal[k], cams_all.principal[k],
-            jax.random.PRNGKey(k), rcfg, background=0.0,
+            jax.random.PRNGKey(k), rcfg, background=0.0, spp=8,
         )
         tex = imgs_all[k]
         a = tex[..., 3:4]
@@ -161,9 +161,11 @@ def main():
     try:
         from neus2_tpu.engine.mesh import extract_mesh
 
+        from neus2_tpu.ops.warp import AABB as _AABB
+
         verts, faces = extract_mesh(
             tb.state.ema_params, config.field, resolution=256,
-            aabb_min=(0.15, 0.15, 0.15), aabb_max=(0.85, 0.85, 0.85),
+            box=_AABB(jnp.full((3,), 0.15), jnp.full((3,), 0.85)),
         )
         v = jnp.asarray(np.asarray(verts, np.float32))
         g = jnp.asarray(gt_pts)
