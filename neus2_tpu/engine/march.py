@@ -87,6 +87,34 @@ def coarse_intervals(
     return t0, dt
 
 
+def march_probe(
+    origins: jnp.ndarray,  # (R, 3)
+    directions: jnp.ndarray,  # (R, 3) unit
+    aabb: AABB,
+    occupancy: OccupancyGrid | None,
+    n_candidates: int,
+    cone_angle: float = 0.0,
+    near: float = 0.0,
+) -> jnp.ndarray:
+    """Total occupied length per ray (R,) — the march WITHOUT sample draws.
+
+    Deterministic candidate midpoints; a ray with probe 0 draws mask-all-False
+    samples from ``march_rays`` and composites to nothing, so callers may skip
+    the field evaluation for such rays entirely (the render path's hit-ray
+    compaction — the fixed-shape analog of the reference's alive-ray
+    compaction rounds, testbed_nerf.cu:2479-2595)."""
+    tmin, tmax = aabb.ray_intersect(origins, directions)
+    tmin = jnp.maximum(tmin, near)
+    hit = tmin < tmax
+    t0, dt_c = coarse_intervals(tmin, tmax, n_candidates, cone_angle)
+    mid = t0 + 0.5 * dt_c
+    valid_c = (mid < tmax[:, None]) & hit[:, None]
+    if occupancy is not None:
+        pos_c = origins[:, None, :] + mid[..., None] * directions[:, None, :]
+        valid_c &= occupancy_at(occupancy, pos_c)
+    return jnp.sum(jnp.where(valid_c, dt_c, 0.0), axis=-1)
+
+
 def march_rays(
     key: jax.Array,
     origins: jnp.ndarray,  # (R, 3)

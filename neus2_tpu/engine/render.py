@@ -114,6 +114,27 @@ def _render_chunk_jit(params, acc, occupancy, oo, dd, kk, config, jitter):
     return _render_chunk(params, acc, occupancy, oo, dd, kk, config, aabb, jitter)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _probe_rays_jit(acc, occupancy, origins, dirs, config):
+    """Occupied length per ray — candidates + occupancy gathers, no MLP."""
+    from neus2_tpu.engine.march import march_probe
+
+    aabb = AABB(
+        jnp.full((3,), 0.5 - 0.5 * config.aabb_scale, jnp.float32),
+        jnp.full((3,), 0.5 + 0.5 * config.aabb_scale, jnp.float32),
+    )
+    origins, dirs = delta_mod.apply_accumulated_to_rays(acc, origins, dirs)
+    return march_probe(
+        origins,
+        dirs,
+        aabb,
+        occupancy,
+        config.n_candidates,
+        cone_angle=config.cone_angle,
+        near=config.near,
+    )
+
+
 def render_rays(
     params,
     acc,
@@ -123,6 +144,7 @@ def render_rays(
     key: jax.Array,
     config: RenderConfig,
     jitter: bool = False,
+    compact: bool = False,
 ):
     """Chunked render -> (rgb (N,3) sRGB-space pre-bg, depth (N,), opacity,
     normal (N,3), cost (N,)).
@@ -131,8 +153,37 @@ def render_rays(
     (compiled once per shape). NOTE deliberately not `lax.map`: a fori-loop
     over the full render body crashes the v5e XLA compiler, and host
     dispatch is async anyway so there is no per-chunk sync cost.
+
+    ``compact``: probe the occupancy march first and evaluate the field only
+    for rays that cross occupied space (misses return exact zeros either
+    way); saves the field evaluation for background pixels at the cost of
+    one host sync.  ``render_image`` does this itself (probe shared across
+    spp passes) — the flag is for direct ray-level callers.
     """
     n = origins.shape[0]
+    if compact and occupancy is not None:
+        hit_idx = probe_hit_rays(acc, occupancy, origins, dirs, config)
+        empty = (
+            jnp.zeros((n, 3)),
+            jnp.zeros((n,)),
+            jnp.zeros((n,)),
+            jnp.zeros((n, 3)),
+            jnp.zeros((n,)),
+        )
+        if hit_idx.size == 0:
+            return empty
+        sub = render_rays(
+            params,
+            acc,
+            occupancy,
+            origins[hit_idx],
+            dirs[hit_idx],
+            key,
+            config,
+            jitter=jitter,
+            compact=False,
+        )
+        return tuple(e.at[hit_idx].set(s) for e, s in zip(empty, sub))
     c = min(config.chunk, n)
     n_chunks = -(-n // c)
     pad = n_chunks * c - n
@@ -147,6 +198,33 @@ def render_rays(
     ]
     cat = lambda k: jnp.concatenate([out[k] for out in outs], axis=0)[:n]
     return cat(0), cat(1), cat(2), cat(3), cat(4)
+
+
+def probe_hit_rays(acc, occupancy, origins, dirs, config) -> "np.ndarray":
+    """Indices of rays whose chord crosses occupied space (host np.int array).
+
+    One chunked march-only probe + one host sync; rays not returned would
+    march mask-all-False samples and composite to zero, so skipping their
+    field evaluation is exact (march.py march_probe).  This is the
+    fixed-shape analog of the reference's alive-ray compaction
+    (testbed_nerf.cu:2479-2595) with one sync instead of one per round."""
+    import numpy as np
+
+    n = origins.shape[0]
+    c = min(config.chunk, n)
+    n_chunks = -(-n // c)
+    pad = n_chunks * c - n
+    o = jnp.pad(origins, ((0, pad), (0, 0))).reshape(n_chunks, c, 3)
+    d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0).reshape(
+        n_chunks, c, 3
+    )
+    totals = jnp.concatenate(
+        [
+            _probe_rays_jit(acc, occupancy, o[i], d[i], config)
+            for i in range(n_chunks)
+        ]
+    )[:n]
+    return np.nonzero(np.asarray(jax.device_get(totals)) > 0.0)[0]
 
 
 def render_image(
@@ -190,13 +268,26 @@ def render_image(
 
     spp = spp or config.spp
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (3,))
-    rgb_acc = jnp.zeros((w * h, 3))
-    depth_acc = jnp.zeros((w * h,))
-    op_acc = jnp.zeros((w * h,))
-    for s in range(spp):
+
+    # Hit-ray compaction: the probe is deterministic (no jitter), so one
+    # probe serves every spp pass; only rays crossing occupied space reach
+    # the field (typically 30-60% on object-centric scenes).
+    n = w * h
+    if occupancy is not None:
+        hit_idx = probe_hit_rays(acc, occupancy, origins, dirs, config)
+        o_h, d_h = origins[hit_idx], dirs[hit_idx]
+    else:
+        hit_idx = None
+        o_h, d_h = origins, dirs
+    m = o_h.shape[0]
+
+    rgb_acc = jnp.zeros((m, 3))
+    depth_acc = jnp.zeros((m,))
+    op_acc = jnp.zeros((m,))
+    for s in range(spp if m else 0):
         k = jax.random.fold_in(key, s)
         rgb, depth, opacity, normal, cost = render_rays(
-            params, acc, occupancy, origins, dirs, k, config, jitter=spp > 1
+            params, acc, occupancy, o_h, d_h, k, config, jitter=spp > 1
         )
         if mode == "shade":
             rgb_acc += rgb + (1.0 - opacity)[:, None] * linear_to_srgb(bg)
@@ -210,6 +301,15 @@ def render_image(
             raise ValueError(f"unknown render mode {mode!r}")
         depth_acc += depth
         op_acc += opacity
+    if hit_idx is not None:
+        # Misses composite to zero + background (exactly what the full
+        # render would produce for them).
+        miss_rgb = linear_to_srgb(bg) * spp if mode == "shade" else 0.0
+        rgb_acc = (
+            jnp.zeros((n, 3)) + miss_rgb
+        ).at[hit_idx].set(rgb_acc)
+        depth_acc = jnp.zeros((n,)).at[hit_idx].set(depth_acc)
+        op_acc = jnp.zeros((n,)).at[hit_idx].set(op_acc)
     rgb_img = (rgb_acc / spp).reshape(h, w, 3)
     if mode == "shade":
         rgb_img = jnp.clip(rgb_img, 0.0, 1.0)
