@@ -117,6 +117,19 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
     L = config.n_levels
     F = config.n_features_per_level
     resolutions, scales, _, sizes, use_hash = config.level_tables()
+    # Dense levels: corner c of the cell at idx0 lives at (idx0 + off_c) %
+    # size with a STATIC per-level offset (x-major layout in
+    # ops/hashgrid._corner_indices), so 8 narrow gathers collapse into 8
+    # contiguous table rolls (bandwidth-cheap) + ONE wide (8F)-row gather —
+    # 8x fewer serialized gather rows (PERF.md: per-row cost is constant in
+    # row width).  Hashed levels have no such linearity (XOR-prime hash).
+    corner_offsets = [
+        [
+            co[0] + co[1] * resolutions[l] + co[2] * resolutions[l] ** 2
+            for co in _CORNERS
+        ]
+        for l in range(L)
+    ]
 
     def _level_gate(l, valid_level, max_level, dtype, n):
         gate = jnp.broadcast_to(
@@ -132,8 +145,21 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
         n = positions.shape[0]
         for l in range(L):
             pos_grid, frac = _level_geometry(positions, scales[l])
-            idx = _level_indices(pos_grid, config, l, resolutions, sizes, use_hash)
-            vals = jnp.take(tables[l], idx, axis=0)  # (N,8,F)
+            if use_hash[l]:
+                idx = _level_indices(
+                    pos_grid, config, l, resolutions, sizes, use_hash
+                )
+                vals = jnp.take(tables[l], idx, axis=0)  # (N,8,F)
+            else:
+                idx = _corner_indices(pos_grid, resolutions[l], sizes[l], False)
+                rolled = jnp.stack(
+                    [
+                        jnp.roll(tables[l], -o, axis=0)
+                        for o in corner_offsets[l]
+                    ],
+                    axis=1,
+                )  # (T, 8, F)
+                vals = jnp.take(rolled, idx, axis=0)  # (N,8,F)
             w, dw, _, _ = _weights_and_grads(frac, scales[l])
             gate = _level_gate(l, valid_level, max_level, positions.dtype, n)
             feat = jnp.einsum("nc,ncf->nf", w, vals) * gate
@@ -166,7 +192,11 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
     def _encode_bwd(res, cts):
         residuals, table_rows, max_level = res
         ct_feat, ct_jac = cts  # (N, L*F), (N, 3, L*F)
-        idx_flat, upd_flat = [], []
+        # Hashed levels scatter (N*8, F) per-corner updates; dense levels
+        # scatter (N, 8F) corner-fused rows (8x fewer sort elements) that
+        # are folded back onto the true table by inverse rolls below.
+        idx_hash, upd_hash, lvl_hash = [], [], []
+        idx_dense, upd_dense, lvl_dense = [], [], []
         d_x = 0.0
         for l in range(L):
             idx, vals, frac, gate = residuals[l]  # gate (N,1)
@@ -185,8 +215,14 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
                 w[..., None] * ctf[:, None, :]
                 + ein("ncj,njf->ncf", dw_c, ctj_c)
             )  # (N,8,F)
-            idx_flat.append(idx.reshape(-1))
-            upd_flat.append(upd.reshape(-1, F))
+            if use_hash[l]:
+                idx_hash.append(idx.reshape(-1))
+                upd_hash.append(upd.reshape(-1, F))
+                lvl_hash.append(l)
+            else:
+                idx_dense.append(idx)  # (N,)
+                upd_dense.append(upd.reshape(-1, 8 * F))
+                lvl_dense.append(l)
 
             # --- d positions (grid.h:804 first order + 1010 second order) ---
             # dL/dx_j += sum_cf dw[n,c,j] * vals * ctf   (through feat)
@@ -208,11 +244,27 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
             d_x = d_x + jnp.stack(
                 [dx0.sum(1), dx1.sum(1), dx2.sum(1)], axis=-1
             )
-        # Scatter-free segment sum for ALL levels at once: XLA:TPU
-        # scatter_add serializes per update (~80 ms/level at batch scale);
-        # on TPU this is L 2-operand sorts + ONE Pallas dynamic-length
-        # tile-reduce launch (ops/segment_tile.py), on CPU native scatter.
-        d_tables = segment_dense_sum_multi(idx_flat, upd_flat, table_rows)
+        # Scatter-free segment sum: XLA:TPU scatter_add serializes per
+        # update (~80 ms/level at batch scale); on TPU each group is
+        # per-level 2-operand sorts + ONE Pallas dynamic-length tile-reduce
+        # launch (ops/segment_tile.py), on CPU native scatter.
+        d_tables = [None] * L
+        if idx_hash:
+            outs = segment_dense_sum_multi(
+                idx_hash, upd_hash, [table_rows[l] for l in lvl_hash]
+            )
+            for l, o in zip(lvl_hash, outs):
+                d_tables[l] = o
+        if idx_dense:
+            outs = segment_dense_sum_multi(
+                idx_dense, upd_dense, [table_rows[l] for l in lvl_dense]
+            )
+            for l, o8 in zip(lvl_dense, outs):
+                o8 = o8.reshape(table_rows[l], 8, F)
+                d_tables[l] = sum(
+                    jnp.roll(o8[:, c, :], corner_offsets[l][c], axis=0)
+                    for c in range(8)
+                )
         return (
             tuple(d_tables),
             d_x,
