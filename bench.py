@@ -18,14 +18,21 @@ BASELINE_RAYS_PER_S = 33_000.0
 
 
 def flagship_config():
+    import jax.numpy as jnp
+
     from neus2_tpu.engine.train import TrainConfig
     from neus2_tpu.models.field import FieldConfig
     from neus2_tpu.ops.hashgrid import HashGridConfig
 
     # Flagship config: base.json-scale hashgrid, 4096 rays x 64 samples
-    # (the reference's 2^18-sample batch geometry).
+    # (the reference's 2^18-sample batch geometry).  bf16 compute matches
+    # the reference's own training precision (fp16 activations + fp32
+    # master params, my_tcnn trainer.h:79-88); quality parity is enforced
+    # by tests/test_train_e2e.py::test_bf16_compute_quality_parity and
+    # measured at 0.27 dB held-out PSNR delta (PERF.md).
     return TrainConfig(
         field=FieldConfig(
+            compute_dtype=jnp.bfloat16,
             grid=HashGridConfig(
                 n_levels=14,
                 log2_hashmap_size=19,

@@ -40,10 +40,18 @@ from neus2_tpu.ops.hashgrid import HashGridConfig
 from neus2_tpu.ops.image import psnr
 from neus2_tpu.ops.losses import linear_to_srgb
 
-SNAP = Path("/tmp/tpu_validate_csg.msgpack")
-META = Path("/tmp/tpu_validate_csg.json")
+import os
+
 TARGET = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-N_TRAIN, N_EVAL, RES = 24, 2, 256
+# Protocol scale (reference DTU runs use 49-64 views, scripts/run.py):
+# CSG_VIEWS=48 CSG_RES=256 for the full-protocol run.
+N_TRAIN = int(os.environ.get("CSG_VIEWS", "24"))
+N_EVAL = int(os.environ.get("CSG_EVAL_VIEWS", "2"))
+RES = int(os.environ.get("CSG_RES", "256"))
+USE_EMAP = os.environ.get("CSG_ERROR_MAP", "1") != "0"
+_tag = f"_{N_TRAIN}v_{RES}" if (N_TRAIN, RES) != (24, 256) else ""
+SNAP = Path(f"/tmp/tpu_validate_csg{_tag}.msgpack")
+META = Path(f"/tmp/tpu_validate_csg{_tag}.json")
 
 
 def gt_surface_points(n: int, seed: int = 0) -> np.ndarray:
@@ -85,6 +93,7 @@ def main():
         n_candidates=256,
         ek_loss_weight=0.1,
         mask_loss_weight=0.1,
+        use_error_map=USE_EMAP,
     )
     ds = make_csg_dataset(n_views=N_TRAIN + N_EVAL, resolution=RES)
     cams_all = ds.cameras()
