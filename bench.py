@@ -14,6 +14,11 @@ import time
 
 import jax
 
+# Persistent compile cache: the flagship step takes 3-5 min to compile over
+# the tunnel; cached reruns start in seconds (PERF.md).
+jax.config.update("jax_compilation_cache_dir", "/tmp/neus2_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 BASELINE_RAYS_PER_S = 33_000.0
 
 

@@ -37,7 +37,7 @@ from neus2_tpu.engine.rays import Cameras
 from neus2_tpu.engine.train import TrainConfig
 from neus2_tpu.models.field import FieldConfig, sdf_fn
 from neus2_tpu.ops.hashgrid import HashGridConfig
-from neus2_tpu.ops.image import psnr
+from neus2_tpu.ops.image import psnr, ssim
 from neus2_tpu.ops.losses import linear_to_srgb
 
 import os
@@ -48,7 +48,9 @@ TARGET = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 N_TRAIN = int(os.environ.get("CSG_VIEWS", "24"))
 N_EVAL = int(os.environ.get("CSG_EVAL_VIEWS", "2"))
 RES = int(os.environ.get("CSG_RES", "256"))
-USE_EMAP = os.environ.get("CSG_ERROR_MAP", "1") != "0"
+# Reference default: error-map sampling OFF (testbed.h:636-637); opt in
+# with CSG_ERROR_MAP=1.
+USE_EMAP = os.environ.get("CSG_ERROR_MAP", "0") != "0"
 _tag = f"_{N_TRAIN}v_{RES}" if (N_TRAIN, RES) != (24, 256) else ""
 SNAP = Path(f"/tmp/tpu_validate_csg{_tag}.msgpack")
 META = Path(f"/tmp/tpu_validate_csg{_tag}.json")
@@ -145,7 +147,7 @@ def main():
     rcfg = RenderConfig(
         field=config.field, samples_per_ray=128, n_candidates=256, chunk=1 << 13
     )
-    psnrs = []
+    psnrs, ssims = [], []
     for k in range(N_TRAIN, N_TRAIN + N_EVAL):
         rgb, depth, alpha = render_image(
             tb.state.ema_params, tb.state.acc, tb.state.occupancy,
@@ -158,8 +160,10 @@ def main():
             a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a, 0.0
         )
         p = float(psnr(jnp.asarray(rgb), target))
+        s = float(ssim(jnp.asarray(rgb), target))
         psnrs.append(p)
-        print(f"eval view {k}: PSNR {p:.2f} dB", flush=True)
+        ssims.append(s)
+        print(f"eval view {k}: PSNR {p:.2f} dB  SSIM {s:.4f}", flush=True)
 
     # --- geometry: |SDF| on GT surface + Chamfer mesh<->GT cloud ---
     gt_pts = gt_surface_points(4096)
@@ -194,6 +198,7 @@ def main():
     out = {
         "steps": tb.training_step,
         "held_out_psnr": float(np.mean(psnrs)),
+        "held_out_ssim": float(np.mean(ssims)),
         "per_view_psnr": psnrs,
         "surface_sdf_err": surf_err,
         "chamfer": chamfer,
