@@ -10,9 +10,16 @@ reference-derived baseline; vs_baseline = ours / baseline (higher is better).
 
 import argparse
 import json
+import sys
 import time
 
 import jax
+
+
+def _note(msg: str) -> None:
+    """Progress marker on stderr (stdout stays the single JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 # Persistent compile cache: the flagship step takes 3-5 min to compile over
 # the tunnel; cached reruns start in seconds (PERF.md).
@@ -84,13 +91,16 @@ def bench_single(n_iters=20, warm_steps=48):
     from neus2_tpu.engine.train import occupancy_update, train_step
 
     config = flagship_config()
+    _note("setup (dataset + prior sweep)")
     state, images, cameras = _setup(config)
 
     # Warmup / compile.  NOTE: under the axon tunnel block_until_ready may
     # return before remote work drains; fetching a scalar value is the only
     # reliable completion barrier, so time N chained steps ending in a fetch.
+    _note("compile bucket-0 step")
     state, aux = train_step(state, images, cameras, config)
     _ = float(aux.loss)
+    _note("timing bucket-0")
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -108,6 +118,7 @@ def bench_single(n_iters=20, warm_steps=48):
     # the reference's auto-tuned headline numbers run in.
     import jax.numpy as jnp
 
+    _note(f"warm {warm_steps} steps")
     for i in range(warm_steps):
         if i % 4 == 0:
             state = occupancy_update(state, config)
@@ -124,10 +135,12 @@ def bench_single(n_iters=20, warm_steps=48):
         # the training-time shell.
         occupancy=occ_mod.reset_density(state.occupancy),
     )
+    _note("converged occupancy re-sweep (80 updates)")
     for _ in range(80):  # full round-robin sweep at converged sharpness
         state = occupancy_update(state, config)
     state, aux = train_step(state, images, cameras, config)
     occ_len = float(aux.mean_occ_len)
+    _note(f"occ_len {occ_len:.4f}")
 
     s_needed = 0.75 * occ_len / STEPSIZE
     s0 = config.samples_per_ray
@@ -152,8 +165,10 @@ def bench_single(n_iters=20, warm_steps=48):
         n_rays=config.n_rays << bucket,
         samples_per_ray=config.samples_per_ray >> bucket,
     )
+    _note(f"compile bucket-{bucket} step")
     state, aux = train_step(state, images, cameras, cfg_b)
     _ = float(aux.loss)
+    _note(f"timing bucket-{bucket}")
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, aux = train_step(state, images, cameras, cfg_b)
