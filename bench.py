@@ -109,6 +109,24 @@ def bench_single(n_iters=20, warm_steps=48):
     dt = time.perf_counter() - t0
     rays_scratch = config.n_rays * n_iters / dt
 
+    try:
+        return _bench_converged(
+            config, state, images, cameras, rays_scratch, n_iters, warm_steps
+        )
+    except Exception as e:  # never exit without the JSON line
+        _note(f"converged-regime bench failed ({type(e).__name__}: {e}); "
+              "reporting from-scratch only")
+        return rays_scratch, {"from_scratch": round(rays_scratch, 1)}
+
+
+def _bench_converged(
+    config, state, images, cameras, rays_scratch, n_iters, warm_steps
+):
+    import dataclasses
+
+    from neus2_tpu.constants import STEPSIZE
+    from neus2_tpu.engine.train import occupancy_update, train_step
+
     # Converged operating point: the occupied-shell width tracks the NeuS
     # sharpness, ~ln(s)/s (engine/occupancy.py) — reaching it by training
     # takes the full ~2000-step run.  Construct it instead: brief training
