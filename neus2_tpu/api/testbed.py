@@ -175,10 +175,17 @@ class Testbed:
         config: TrainConfig | None = None,
         hyper: Hyperparams | None = None,
         seed: int = 0,
+        image_dtype=None,
     ):
         self.config = config or TrainConfig()
         self.hyper = hyper or Hyperparams()
         self.seed = seed
+        # Device storage dtype for training images (None = fp32).  The
+        # reference stores fp16 texels (nerf_loader.cu __half4 images);
+        # jnp.float16 halves image HBM at the reference's own texel
+        # precision — texels are cast to fp32 right after the gather
+        # (engine/rays.py rays_from_pixels).
+        self.image_dtype = image_dtype
         self.mesh = None  # set by enable_multichip()
         self.zero1 = False
         self.state: TrainState | None = None
@@ -293,7 +300,7 @@ class Testbed:
             self.dataset = self._datasets[idx]
         else:
             self.dataset = load_dataset(self.frame_jsons[idx], n_frames_cap)
-        self.images = self.dataset.images_device()
+        self.images = self.dataset.images_device(self.image_dtype)
         self.cameras = self.dataset.cameras()
         self.depths = self.dataset.depths_device()
         self._place_batch_data()

@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--no_train", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fp16-images", action="store_true",
+                   help="store training images on device as fp16 (the "
+                        "reference's texel precision; halves image HBM)")
     p.add_argument("--multichip", choices=("auto", "on", "off"), default="auto",
                    help="data-parallel training over all devices (auto: on "
                         "when more than one device is visible)")
@@ -140,7 +143,14 @@ def main(argv=None):
     if args.n_steps:
         hyper.first_frame_max_training_step = args.n_steps
 
-    tb = Testbed(config=config, hyper=hyper, seed=args.seed)
+    import jax.numpy as jnp
+
+    tb = Testbed(
+        config=config,
+        hyper=hyper,
+        seed=args.seed,
+        image_dtype=jnp.float16 if args.fp16_images else None,
+    )
     if args.multichip == "on" or (
         args.multichip == "auto" and len(jax.devices()) > 1
     ):

@@ -198,3 +198,22 @@ def test_adaptive_batch_bucket():
     for _ in range(5):
         tb2._update_batch_bucket(0.02)
     assert tb2.batch_bucket == 0
+
+
+def test_fp16_image_storage_trains():
+    """fp16 device texels (the reference's storage precision,
+    nerf_loader.cu __half4 images): training converges equivalently; texels
+    are cast to fp32 after the gather (engine/rays.py)."""
+    import jax.numpy as jnp
+
+    tb = Testbed(
+        config=tiny_config(),
+        hyper=Hyperparams(first_frame_max_training_step=60),
+        image_dtype=jnp.float16,
+    )
+    tb.load_training_data_from_datasets([make_sphere_dataset(6, 40)])
+    assert tb.images.dtype == jnp.float16
+    while tb.frame():
+        pass
+    assert np.isfinite(tb.loss_scalar)
+    assert tb.loss_scalar < 0.2
