@@ -647,14 +647,18 @@ class Testbed:
 
     def compute_and_save_marching_cubes_mesh(
         self, path: str | Path, resolution: int = 256, thresh: float = 0.0,
-        with_colors: bool = True,
+        with_colors: bool = True, keep_largest_component: bool = False,
     ):
         """Reference python_api surface (python_api.cu:382; SURVEY §3.5).
 
         PLY exports carry per-vertex sRGB colors from the RGB head
-        (reference compute_mesh_vertex_colors, testbed_nerf.cu:4071)."""
+        (reference compute_mesh_vertex_colors, testbed_nerf.cu:4071).
+        ``keep_largest_component`` drops floater blobs in never-observed
+        regions (the mask-free analog of the reference DTU protocol's
+        object-mask cropping)."""
         from neus2_tpu.engine.mesh import (
-            extract_mesh, save_mesh_obj, save_mesh_ply, vertex_colors,
+            extract_mesh, largest_component, save_mesh_obj, save_mesh_ply,
+            vertex_colors,
         )
         from neus2_tpu.ops.warp import scene_aabb
 
@@ -666,6 +670,8 @@ class Testbed:
             aabb=aabb,
             thresh=thresh,
         )
+        if keep_largest_component and len(verts):
+            verts, tris = largest_component(verts, tris)
         path = Path(path)
         if path.suffix == ".ply":
             colors = None

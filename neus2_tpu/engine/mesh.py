@@ -81,6 +81,37 @@ def extract_mesh(
     return verts_world, tris
 
 
+def largest_component(verts: np.ndarray, tris: np.ndarray):
+    """Keep only the largest connected component (by triangle count).
+
+    SDF reconstructions grow floater blobs in never-observed regions (the
+    solid interior, outside the visual hull); the reference's DTU protocol
+    crops them away with object masks (scripts/run.py eval).  Mask-free
+    analog: connected components over shared mesh vertices, host-side."""
+    import numpy as np
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    n = verts.shape[0]
+    t = np.asarray(tris, np.int64)
+    if t.shape[0] == 0:
+        return verts, tris
+    rows = np.concatenate([t[:, 0], t[:, 1], t[:, 2]])
+    cols = np.concatenate([t[:, 1], t[:, 2], t[:, 0]])
+    adj = coo_matrix(
+        (np.ones(rows.shape[0], np.int8), (rows, cols)), shape=(n, n)
+    )
+    _, labels = connected_components(adj, directed=False)
+    tri_label = labels[t[:, 0]]
+    vals, counts = np.unique(tri_label, return_counts=True)
+    keep = vals[np.argmax(counts)]
+    keep_tris = t[tri_label == keep]
+    used = np.unique(keep_tris)
+    remap = np.full(n, -1, np.int64)
+    remap[used] = np.arange(used.shape[0])
+    return verts[used], remap[keep_tris].astype(tris.dtype)
+
+
 @partial(jax.jit, static_argnames=("config", "chunk"))
 def vertex_colors(
     params,

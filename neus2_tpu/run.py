@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--save_snapshot_every", type=int, default=0)
     p.add_argument("--save_mesh", action="store_true")
     p.add_argument("--mesh_resolution", type=int, default=256)
+    p.add_argument("--mesh_largest_component", action="store_true",
+                   help="drop disconnected floater blobs from the exported "
+                        "mesh (mask-free analog of the DTU protocol's "
+                        "object-mask cropping)")
     p.add_argument("--test_transforms", default=None,
                    help="held-out transforms json for PSNR/SSIM eval")
     p.add_argument("--eval_per_frame", action="store_true",
@@ -232,7 +236,8 @@ def main(argv=None):
         mesh_path = out / "mesh" / "mesh.obj"
         log(f"extracting mesh @ {args.mesh_resolution}^3 -> {mesh_path}")
         verts, tris = tb.compute_and_save_marching_cubes_mesh(
-            mesh_path, resolution=args.mesh_resolution
+            mesh_path, resolution=args.mesh_resolution,
+            keep_largest_component=args.mesh_largest_component,
         )
         log(f"mesh: {len(verts)} vertices, {len(tris)} triangles")
 

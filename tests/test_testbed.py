@@ -217,3 +217,24 @@ def test_fp16_image_storage_trains():
         pass
     assert np.isfinite(tb.loss_scalar)
     assert tb.loss_scalar < 0.2
+
+
+def test_mesh_largest_component_filter(static_testbed, tmp_path):
+    """keep_largest_component drops disconnected floaters (mesh.py
+    largest_component; mask-free analog of the reference's DTU cropping)."""
+    from neus2_tpu.engine.mesh import largest_component
+
+    verts = np.random.rand(9, 3).astype(np.float32)
+    tris = np.array([[0, 1, 2], [1, 2, 3], [5, 6, 7]], np.int32)
+    v, t = largest_component(verts, tris)
+    assert t.shape[0] == 2 and v.shape[0] == 4
+
+    tb = static_testbed
+    v_all, t_all = tb.compute_and_save_marching_cubes_mesh(
+        tmp_path / "m.obj", resolution=48, with_colors=False
+    )
+    v_lc, t_lc = tb.compute_and_save_marching_cubes_mesh(
+        tmp_path / "m_lc.obj", resolution=48, with_colors=False,
+        keep_largest_component=True,
+    )
+    assert 0 < t_lc.shape[0] <= t_all.shape[0]

@@ -172,7 +172,7 @@ def main():
 
     chamfer = None
     try:
-        from neus2_tpu.engine.mesh import extract_mesh
+        from neus2_tpu.engine.mesh import extract_mesh, largest_component
 
         from neus2_tpu.ops.warp import AABB as _AABB
 
@@ -180,6 +180,9 @@ def main():
             tb.state.ema_params, config.field, resolution=256,
             box=_AABB(jnp.full((3,), 0.15), jnp.full((3,), 0.85)),
         )
+        # Drop interior/unobserved floater blobs (mask-free analog of the
+        # reference DTU protocol's object-mask cropping).
+        verts, faces = largest_component(np.asarray(verts), np.asarray(faces))
         v = jnp.asarray(np.asarray(verts, np.float32))
         g = jnp.asarray(gt_pts)
         # symmetric Chamfer (mean of two directed mean NN distances), chunked
