@@ -166,7 +166,7 @@ def main():
         print(f"eval view {k}: PSNR {p:.2f} dB  SSIM {s:.4f}", flush=True)
 
     # --- geometry: |SDF| on GT surface + Chamfer mesh<->GT cloud ---
-    gt_pts = gt_surface_points(4096)
+    gt_pts = gt_surface_points(16384)
     sdf, _ = sdf_fn(tb.state.ema_params, jnp.asarray(gt_pts), config.field)
     surf_err = float(jnp.abs(sdf).mean())
 
@@ -193,7 +193,7 @@ def main():
             outs = [one(a[i : i + 1024]) for i in range(0, a.shape[0], 1024)]
             return float(jnp.concatenate(outs).mean())
 
-        sub = v[:: max(1, v.shape[0] // 8192)]
+        sub = v[:: max(1, v.shape[0] // 16384)]
         chamfer = 0.5 * (directed(sub, g) + directed(g, sub))
     except Exception as e:  # mesh extraction is secondary; report and move on
         print("mesh/chamfer skipped:", e, flush=True)
