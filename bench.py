@@ -197,15 +197,19 @@ def _bench_converged(
     return max(rays_scratch, rays_conv), details
 
 
-def bench_scaling(n_devices, n_iters=10):
+def bench_scaling(n_devices, n_iters=10, zero1=False):
     """Rays/s on a 1-device vs n-device mesh (same per-device ray batch:
-    weak scaling — the BASELINE >=75% 1->N efficiency target)."""
+    weak scaling — the BASELINE >=75% 1->N efficiency target).
+
+    ``zero1``: shard the hash-table gradient reduction + optimizer state
+    over the mesh (parallel/train.py _train_step_zero1)."""
     import dataclasses
 
     from neus2_tpu.parallel.train import (
         make_mesh,
         parallel_train_step,
         replicate_state,
+        shard_state_zero1,
     )
 
     devices = jax.devices()[:n_devices]
@@ -214,13 +218,15 @@ def bench_scaling(n_devices, n_iters=10):
     for nd in (1, len(devices)):
         mesh = make_mesh(devices[:nd])
         state, images, cameras = _setup(config)
-        state = replicate_state(state, mesh)
+        z = zero1 and nd > 1
+        state = shard_state_zero1(state, mesh) if z else replicate_state(state, mesh)
         cfg = dataclasses.replace(config, n_rays=config.n_rays)
-        state, aux = parallel_train_step(state, images, cameras, cfg, mesh)
+        step = lambda *a: parallel_train_step(*a, zero1=z)
+        state, aux = step(state, images, cameras, cfg, mesh)
         _ = float(aux.loss)
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            state, aux = parallel_train_step(state, images, cameras, cfg, mesh)
+            state, aux = step(state, images, cameras, cfg, mesh)
         _ = float(aux.loss)
         dt = time.perf_counter() - t0
         results[nd] = cfg.n_rays * nd * n_iters / dt
@@ -231,11 +237,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, default=0,
                    help="scaling mode: rays/s on 1 vs N devices")
+    p.add_argument("--zero1", action="store_true",
+                   help="scaling mode: shard table grads + optimizer state")
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
 
     if args.devices > 1:
-        res = bench_scaling(args.devices, n_iters=max(5, args.iters // 2))
+        res = bench_scaling(
+            args.devices, n_iters=max(5, args.iters // 2), zero1=args.zero1
+        )
         nd = max(res)
         eff = res[nd] / (nd * res[1]) if res[1] else 0.0
         print(
