@@ -233,6 +233,41 @@ def bench_scaling(n_devices, n_iters=10, zero1=False):
     return results
 
 
+def _probe_backend(timeout_s=180):
+    """Fail fast (with a JSON line) if the TPU backend can't initialize.
+
+    The axon PJRT client blocks indefinitely inside backend init when the
+    tunnel relay is down (observed 2026-08-18: every process wedged in
+    "Initializing backend 'axon'").  A hung bench eats the driver's whole
+    window and records nothing; an explicit error JSON records *why*.
+    """
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            _note(f"WATCHDOG: backend init did not complete in {timeout_s}s "
+                  "— axon tunnel unresponsive; aborting")
+            print(json.dumps({
+                "metric": "train_rays_per_s_per_chip",
+                "value": 0.0,
+                "unit": "rays/s",
+                "vs_baseline": 0.0,
+                "error": f"TPU backend init timed out after {timeout_s}s "
+                         "(axon tunnel unresponsive)",
+            }), flush=True)
+            os._exit(7)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    _note("initializing backend")
+    devs = jax.devices()
+    _ = float(jax.numpy.ones((8, 8)).sum())  # round-trip, not just init
+    done.set()
+    _note(f"backend up: {devs}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, default=0,
@@ -241,6 +276,8 @@ def main():
                    help="scaling mode: shard table grads + optimizer state")
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
+
+    _probe_backend()
 
     if args.devices > 1:
         res = bench_scaling(

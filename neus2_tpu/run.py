@@ -99,13 +99,11 @@ def main(argv=None):
         )
         primary = distributed.is_primary()
 
-    # The axon TPU-tunnel platform ignores JAX_PLATFORMS; honor a cpu request
-    # by pinning the default device (same trick as tests/conftest.py).
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        try:
-            jax.config.update("jax_default_device", jax.devices("cpu")[0])
-        except RuntimeError:
-            pass
+    # The axon TPU-tunnel platform overrides JAX_PLATFORMS; force the platform
+    # list back to cpu before any backend initializes (see utils/cpuforce.py).
+    from neus2_tpu.utils.cpuforce import force_cpu_if_requested
+
+    force_cpu_if_requested()
 
     from neus2_tpu.api.testbed import Hyperparams, Testbed, config_from_json
     from neus2_tpu.engine.train import TrainConfig

@@ -18,10 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
-try:
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
-except RuntimeError:
-    pass
+# Force the platform list to cpu BEFORE any backend initializes: the axon
+# plugin sets jax_platforms="axon,cpu" at registration, and initializing it
+# blocks forever when the tunnel relay is down (see utils/cpuforce.py).
+from neus2_tpu.utils.cpuforce import force_cpu  # noqa: E402
+
+force_cpu()
 
 
 def cpu_devices():

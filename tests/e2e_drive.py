@@ -10,13 +10,11 @@ import time
 
 import jax
 
-# The axon TPU-tunnel platform ignores JAX_PLATFORMS; pin the default device
-# to CPU explicitly when the caller asked for CPU (same trick as conftest.py).
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    try:
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
-    except RuntimeError:
-        pass
+# The axon TPU-tunnel platform overrides JAX_PLATFORMS; force the platform
+# list back to cpu before any backend initializes (see utils/cpuforce.py).
+from neus2_tpu.utils.cpuforce import force_cpu_if_requested
+
+force_cpu_if_requested()
 
 import jax.numpy as jnp
 import numpy as np

@@ -126,7 +126,9 @@ def main():
     t0 = time.time()
     # Leave generous headroom after the loop: fetching the full train state
     # over the axon tunnel for the snapshot can take tens of seconds.
-    budget_s = 330
+    # (CSG_BUDGET_S: long-budget override for CPU runs, where there is no
+    # 10-minute command window to fit inside.)
+    budget_s = float(os.environ.get("CSG_BUDGET_S", "330"))
     while tb.training_step < TARGET and time.time() - t0 < budget_s:
         tb.train()
         if tb.training_step % 100 == 0:
