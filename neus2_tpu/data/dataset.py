@@ -177,6 +177,26 @@ def _load_image_rgba(path: Path) -> np.ndarray:
     return np.concatenate([rgb * alpha, alpha], axis=-1).astype(np.float32)
 
 
+def _apply_sharpen(img: np.ndarray, amount: float) -> np.ndarray:
+    """4-neighbor unsharp filter (reference nerf_loader.cu:103-127, 808-830).
+
+    out = (center_w*p - left - up - right - down) / (center_w - 4) with
+    center_w = 4 + 1/amount (5 = strong ... inf = none).  The reference
+    clamps neighbors on the flat pixel index; we clamp per-axis (edge
+    replicate), which differs only on the one-pixel image border.
+    """
+    cw = 4.0 + 1.0 / amount
+    p = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge").astype(np.float32)
+    out = (
+        cw * p[1:-1, 1:-1]
+        - p[1:-1, :-2]
+        - p[1:-1, 2:]
+        - p[:-2, 1:-1]
+        - p[2:, 1:-1]
+    ) / (cw - 4.0)
+    return out.astype(img.dtype)
+
+
 def _focal_from_json(
     frame: dict, meta: dict, w: int, h: int
 ) -> tuple[float, float, float, float]:
@@ -238,6 +258,10 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         rs = [float(v) for v in meta["rolling_shutter"]]
         rolling_shutter = np.asarray((rs + [0.0])[:4], np.float32)
 
+    # Unsharp-mask sharpening at load time (reference nerf_loader.cu:364-365,
+    # 808-830; json key "sharpen", 0 = off).
+    sharpen_amount = float(meta.get("sharpen", 0.0))
+
     frames = meta["frames"]
     if n_frames_cap is not None:
         frames = frames[:n_frames_cap]
@@ -249,7 +273,10 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         p = basepath / fp
         if not p.exists() and not p.suffix:
             p = p.with_suffix(".png")
-        images.append(_load_image_rgba(p))
+        img = _load_image_rgba(p)
+        if sharpen_amount > 0.0:
+            img = _apply_sharpen(img, sharpen_amount)
+        images.append(img)
         mat = np.asarray(
             frame.get("transform_matrix_start", frame.get("transform_matrix")),
             np.float32,

@@ -81,6 +81,64 @@ def extract_mesh(
     return verts_world, tris
 
 
+def save_density_grid_png(
+    params,
+    config: FieldConfig,
+    path,
+    resolution: int = 128,
+    box: AABB | None = None,
+    aabb: AABB | None = None,
+    thresh: float = 0.0,
+    value_range: float = 1.0,
+    swap_y_z: bool = True,
+):
+    """Diagnostic mosaic PNG of the SDF grid (reference
+    marching_cubes.cu:962-1024 ``save_density_grid_to_png``): Z-slices tiled
+    ~sqrt(Z) across, values in [-range, +range] mapped to [0, 255] around 128.
+    Returns (n_surface_voxels, n_lattice_points_near_zero_crossing), the same
+    stats the reference logs."""
+    import imageio.v2 as imageio
+
+    if aabb is None:
+        aabb = AABB(jnp.zeros(3), jnp.ones(3))
+    if box is None:
+        box = aabb
+    g = np.asarray(
+        sdf_grid(params, config, box.lo, box.hi, aabb.lo, aabb.diag,
+                 resolution=resolution)
+    )
+    inside = g < thresh
+    # surface voxels: 2x2x2 corner blocks with a mixed sign
+    c = sum(
+        inside[dx:resolution - 1 + dx, dy:resolution - 1 + dy,
+               dz:resolution - 1 + dz].astype(np.int32)
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    )
+    n_voxels = int(np.count_nonzero((c > 0) & (c < 8)))
+    # lattice points whose 6-neighborhood crosses the threshold
+    i = inside[1:-1, 1:-1, 1:-1]
+    near = np.zeros_like(i)
+    for ax, sl in ((0, np.s_[2:, 1:-1, 1:-1]), (0, np.s_[:-2, 1:-1, 1:-1]),
+                   (1, np.s_[1:-1, 2:, 1:-1]), (1, np.s_[1:-1, :-2, 1:-1]),
+                   (2, np.s_[1:-1, 1:-1, 2:]), (2, np.s_[1:-1, 1:-1, :-2])):
+        near |= inside[sl] != i
+    n_near = int(np.count_nonzero(near))
+
+    vol = np.transpose(g, (2, 1, 0))  # -> (z, y, x) slices
+    if swap_y_z:
+        vol = np.transpose(g, (1, 2, 0))  # y becomes the slice axis
+    z, h, w = vol.shape
+    ndown = int(np.sqrt(z))
+    nacross = -(-z // ndown)
+    sheet = np.zeros((h * ndown, w * nacross), np.uint8)
+    px = np.clip(128.0 + vol * (128.0 / value_range), 0, 255).astype(np.uint8)
+    for k in range(z):
+        r, col = divmod(k, nacross)
+        sheet[r * h:(r + 1) * h, col * w:(col + 1) * w] = px[k]
+    imageio.imwrite(str(path), sheet)
+    return n_voxels, n_near
+
+
 def largest_component(verts: np.ndarray, tris: np.ndarray):
     """Keep only the largest connected component (by triangle count).
 

@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--save_snapshot_every", type=int, default=0)
     p.add_argument("--save_mesh", action="store_true")
     p.add_argument("--mesh_resolution", type=int, default=256)
+    p.add_argument("--save_density_png", action="store_true",
+                   help="save a Z-slice mosaic PNG of the SDF grid "
+                        "(reference save_density_grid_to_png diagnostic)")
     p.add_argument("--mesh_largest_component", action="store_true",
                    help="drop disconnected floater blobs from the exported "
                         "mesh (mask-free analog of the DTU protocol's "
@@ -238,6 +241,20 @@ def main(argv=None):
             keep_largest_component=args.mesh_largest_component,
         )
         log(f"mesh: {len(verts)} vertices, {len(tris)} triangles")
+
+    if args.save_density_png:
+        from neus2_tpu.engine.mesh import save_density_grid_png
+
+        png_path = out / "mesh" / "density_grid.png"
+        from neus2_tpu.ops.warp import scene_aabb
+
+        nvox, nnear = save_density_grid_png(
+            tb.state.ema_params, tb.config.field, png_path,
+            resolution=min(args.mesh_resolution, 128),
+            aabb=scene_aabb(tb.config.aabb_scale),
+        )
+        log(f"density grid png -> {png_path} "
+            f"({nvox} surface voxels, {nnear} near-crossing lattice points)")
 
     if args.ref_mesh:
         from neus2_tpu.engine.mesh import chamfer_distance, extract_mesh
