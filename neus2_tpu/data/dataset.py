@@ -268,12 +268,35 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
     images, poses, focals, principals, paths, depth_list = [], [], [], [], [], []
     poses_end, ray_list = [], []
     any_depth = any_end = any_rays = False
+
+    # Resolve paths, then decode PNG/JPEG on the native thread pool
+    # (native/image_loader.cpp — the reference's loader is likewise
+    # multi-threaded C++, nerf_loader.cu:197-760).  Per-file failures and
+    # EXR fall back to the Python decoder below.
+    resolved = []
     for frame in frames:
-        fp = frame["file_path"]
-        p = basepath / fp
+        p = basepath / frame["file_path"]
         if not p.exists() and not p.suffix:
             p = p.with_suffix(".png")
-        img = _load_image_rgba(p)
+        resolved.append(p)
+    decoded = [None] * len(resolved)
+    native_idx = [
+        i for i, p in enumerate(resolved)
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    ]
+    if native_idx:
+        try:
+            from neus2_tpu.native import decode_images
+
+            for i, img in zip(native_idx,
+                              decode_images([resolved[i] for i in native_idx])):
+                decoded[i] = img
+        except Exception:  # missing toolchain etc. -> Python decoder
+            pass
+
+    for fi, frame in enumerate(frames):
+        p = resolved[fi]
+        img = decoded[fi] if decoded[fi] is not None else _load_image_rgba(p)
         if sharpen_amount > 0.0:
             img = _apply_sharpen(img, sharpen_amount)
         images.append(img)

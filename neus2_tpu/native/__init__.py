@@ -46,7 +46,54 @@ def lib() -> ctypes.CDLL:
         _lib.mc_copy_vertices.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
         _lib.mc_copy_triangles.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
         _lib.mc_free.argtypes = [ctypes.c_void_p]
+        _lib.il_load_batch.restype = ctypes.c_void_p
+        _lib.il_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ]
+        _lib.il_width.restype = ctypes.c_int
+        _lib.il_width.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        _lib.il_height.restype = ctypes.c_int
+        _lib.il_height.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        _lib.il_ok.restype = ctypes.c_int
+        _lib.il_ok.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        _lib.il_error.restype = ctypes.c_char_p
+        _lib.il_error.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        _lib.il_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib.il_free.argtypes = [ctypes.c_void_p]
     return _lib
+
+
+def decode_images(paths, n_threads: int = 0) -> list:
+    """Decode PNG/JPEG files in parallel -> list of (H, W, 4) float32
+    premultiplied-linear RGBA arrays (None for a file that failed to decode —
+    callers fall back to the Python loader for those).
+
+    Native counterpart of the reference's thread-pooled image loading
+    (reference src/nerf_loader.cu:197-760); same output contract as
+    data/dataset.py::_load_image_rgba.
+    """
+    paths = [str(p) for p in paths]
+    n = len(paths)
+    if n == 0:
+        return []
+    l = lib()
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    h = l.il_load_batch(arr, n, int(n_threads))
+    out = []
+    try:
+        for i in range(n):
+            if not l.il_ok(h, i):
+                out.append(None)
+                continue
+            w, ht = l.il_width(h, i), l.il_height(h, i)
+            img = np.empty((ht, w, 4), np.float32)
+            l.il_copy(h, i, img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            out.append(img)
+    finally:
+        l.il_free(h)
+    return out
 
 
 def marching_cubes(grid: np.ndarray, thresh: float = 0.0) -> tuple[np.ndarray, np.ndarray]:

@@ -245,3 +245,31 @@ def test_save_density_grid_png(tmp_path):
     # ~[64, 175] around mid-gray 128; both sides must be represented.
     filled = img[: 32 * 4]  # rows guaranteed to hold real slices
     assert filled.min() < 100 and filled.max() > 150
+
+
+def test_native_image_decoder_matches_python(tmp_path):
+    """native/image_loader.cpp must reproduce _load_image_rgba bit-nearly
+    across PNG variants (8-bit RGBA/RGB/gray, 16-bit) and JPEG structure;
+    failures (missing file) return None so the loader falls back."""
+    import imageio.v2 as imageio
+
+    from neus2_tpu.data.dataset import _load_image_rgba
+    from neus2_tpu.native import decode_images
+
+    rng = np.random.default_rng(0)
+    img8 = (rng.uniform(0, 1, (13, 17, 4)) * 255).astype(np.uint8)
+    img16 = (rng.uniform(0, 1, (9, 11)) * 65535).astype(np.uint16)
+    paths = []
+    imageio.imwrite(tmp_path / "a.png", img8); paths.append(tmp_path / "a.png")
+    imageio.imwrite(tmp_path / "b.png", img8[..., :3]); paths.append(tmp_path / "b.png")
+    imageio.imwrite(tmp_path / "c.png", img8[..., 0]); paths.append(tmp_path / "c.png")
+    imageio.imwrite(tmp_path / "d.png", img16); paths.append(tmp_path / "d.png")
+    imageio.imwrite(tmp_path / "e.jpg", img8[..., :3]); paths.append(tmp_path / "e.jpg")
+    paths.append(tmp_path / "missing.png")
+
+    out = decode_images(paths, n_threads=2)
+    assert out[-1] is None  # missing file -> fallback marker
+    for p, o in zip(paths[:-1], out[:-1]):
+        ref = _load_image_rgba(p)
+        assert o is not None and o.shape == ref.shape
+        np.testing.assert_allclose(o, ref, atol=1e-6)
