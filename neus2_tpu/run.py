@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--ref_mesh", default=None,
                    help="reference mesh (.obj) for Chamfer-distance eval")
     p.add_argument("--eval_spp", type=int, default=8)
+    p.add_argument("--render_path", default=None,
+                   help="render a PNG frame sequence along a camera path: "
+                        "a CameraPath json, or 'orbit' for an auto orbit")
+    p.add_argument("--render_n_frames", type=int, default=60)
     p.add_argument("--n_rays", type=int, default=None)
     p.add_argument("--samples_per_ray", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
@@ -271,6 +275,13 @@ def main(argv=None):
         cd = chamfer_distance(verts_ds, ref_v)
         log(f"chamfer vs {args.ref_mesh}: {cd:.6f}")
 
+    if args.render_path:
+        log(f"rendering {args.render_n_frames} frames along {args.render_path}")
+        render_camera_path(
+            tb, args.render_path, args.render_n_frames,
+            out / "frames", args.eval_spp, log,
+        )
+
     if args.test_transforms:
         psnrs, ssims = evaluate(tb, args.test_transforms, args.eval_spp, log)
         metrics = {
@@ -335,6 +346,60 @@ def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
         ssims.append(s)
         log(f"  view {i}: PSNR {p:.2f}  SSIM {s:.4f}")
     return psnrs, ssims
+
+
+def render_camera_path(
+    tb, path_spec: str, n_frames: int, out_dir, spp: int, log,
+    resolution=None,
+):
+    """Render a PNG frame sequence along a camera path (reference
+    camera_path.cu spline + the GUI's path renderer; headless here).
+
+    ``path_spec``: a CameraPath json (utils/camera_path.py format) or
+    "orbit" for an automatic circular orbit around the scene center."""
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+
+    from neus2_tpu.engine.rays import Cameras
+    from neus2_tpu.engine.render import RenderConfig, render_image
+    from neus2_tpu.utils.camera_path import CameraPath, orbit_path
+
+    if path_spec == "orbit":
+        path = orbit_path()
+    else:
+        path = CameraPath.load(path_spec)
+    if resolution is None:
+        resolution = tb.dataset.resolution if tb.dataset else (800, 800)
+    w, h = resolution
+    cfg = RenderConfig(
+        field=tb.config.field,
+        aabb_scale=tb.config.aabb_scale,
+        min_transmittance=1e-4,
+    )
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    denom = n_frames if path.loop else max(n_frames - 1, 1)
+    for k in range(n_frames):
+        kf = path.eval(k / denom)
+        focal = 0.5 * h / np.tan(0.5 * np.deg2rad(kf.fov_deg))
+        pose = jnp.asarray(kf.pose, jnp.float32)
+        cams = Cameras(
+            poses=pose[None],
+            focal=jnp.full((1, 2), focal, jnp.float32),
+            principal=jnp.full((1, 2), 0.5, jnp.float32),
+            resolution=(w, h),
+        )
+        rgb, _, _ = render_image(
+            tb.state.ema_params, tb.state.acc, tb.state.occupancy,
+            cams, cams.poses[0], cams.focal[0], cams.principal[0],
+            jax.random.PRNGKey(k), cfg, background=0.0, spp=spp,
+        )
+        frame = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+        fp = out_dir / f"frame_{k:04d}.png"
+        imageio.imwrite(fp, frame)
+        log(f"  rendered {fp}")
+    return out_dir
 
 
 def _load_obj_vertices(path):
