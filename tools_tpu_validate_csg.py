@@ -52,6 +52,8 @@ RES = int(os.environ.get("CSG_RES", "256"))
 # with CSG_ERROR_MAP=1.
 USE_EMAP = os.environ.get("CSG_ERROR_MAP", "0") != "0"
 _tag = f"_{N_TRAIN}v_{RES}" if (N_TRAIN, RES) != (24, 256) else ""
+if os.environ.get("CSG_CONFIG", ""):
+    _tag += f"_{os.environ['CSG_CONFIG']}"
 SNAP = Path(f"/tmp/tpu_validate_csg{_tag}.msgpack")
 META = Path(f"/tmp/tpu_validate_csg{_tag}.json")
 
@@ -83,13 +85,22 @@ def gt_surface_points(n: int, seed: int = 0) -> np.ndarray:
 
 
 def main():
+    # CSG_CONFIG=tpu_opt: the L7/F4 TPU-optimal network (configs/tpu_opt.json
+    # — same features/table capacity as L14/F2 parity, 2x fewer lookups);
+    # default is the reference-parity L14/F2 flagship.
+    if os.environ.get("CSG_CONFIG", "") == "tpu_opt":
+        grid = HashGridConfig(
+            n_levels=7, n_features_per_level=4, log2_hashmap_size=19,
+            base_resolution=16,
+            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 7),
+        )
+    else:
+        grid = HashGridConfig(
+            n_levels=14, log2_hashmap_size=19, base_resolution=16,
+            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 14),
+        )
     config = TrainConfig(
-        field=FieldConfig(
-            grid=HashGridConfig(
-                n_levels=14, log2_hashmap_size=19, base_resolution=16,
-                per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 14),
-            )
-        ),
+        field=FieldConfig(grid=grid),
         n_rays=4096,
         samples_per_ray=64,
         n_candidates=256,
