@@ -648,17 +648,19 @@ class Testbed:
     def compute_and_save_marching_cubes_mesh(
         self, path: str | Path, resolution: int = 256, thresh: float = 0.0,
         with_colors: bool = True, keep_largest_component: bool = False,
+        with_normals: bool = True,
     ):
         """Reference python_api surface (python_api.cu:382; SURVEY §3.5).
 
-        PLY exports carry per-vertex sRGB colors from the RGB head
-        (reference compute_mesh_vertex_colors, testbed_nerf.cu:4071).
+        Exports carry 1-ring vertex normals (reference accumulate_1ring,
+        marching_cubes.cu:331) and, for PLY, per-vertex sRGB colors from the
+        RGB head (compute_mesh_vertex_colors, testbed_nerf.cu:4071).
         ``keep_largest_component`` drops floater blobs in never-observed
         regions (the mask-free analog of the reference DTU protocol's
         object-mask cropping)."""
         from neus2_tpu.engine.mesh import (
             extract_mesh, largest_component, save_mesh_obj, save_mesh_ply,
-            vertex_colors,
+            vertex_colors, vertex_normals,
         )
         from neus2_tpu.ops.warp import scene_aabb
 
@@ -673,6 +675,9 @@ class Testbed:
         if keep_largest_component and len(verts):
             verts, tris = largest_component(verts, tris)
         path = Path(path)
+        normals = (
+            vertex_normals(verts, tris) if (with_normals and len(verts)) else None
+        )
         if path.suffix == ".ply":
             colors = None
             if with_colors and len(verts):
@@ -684,12 +689,13 @@ class Testbed:
                 )
             save_mesh_ply(
                 path, verts, tris, scale=self.dataset.scale,
-                offset=self.dataset.offset, colors=colors,
+                offset=self.dataset.offset, colors=colors, normals=normals,
             )
         else:
             save_mesh_obj(
                 path, verts, tris,
                 scale=self.dataset.scale, offset=self.dataset.offset,
+                normals=normals,
             )
         return verts, tris
 

@@ -202,12 +202,52 @@ def vertex_colors(
     return jnp.clip(rgb, 0.0, 1.0)
 
 
+def vertex_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Area-weighted 1-ring vertex normals (reference accumulate_1ring,
+    src/marching_cubes.cu:331-360: per-face cross products atomically
+    accumulated per vertex; deterministic bincount here)."""
+    v = np.asarray(verts, np.float64)
+    t = np.asarray(tris)
+    fn = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+    n = np.zeros_like(v)
+    for k in range(3):
+        for c in range(3):
+            n[:, c] += np.bincount(t[:, k], weights=fn[:, c], minlength=len(v))
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return n.astype(np.float32)
+
+
+def smooth_vertices_1ring(verts: np.ndarray, tris: np.ndarray,
+                          amount: float = 0.5) -> np.ndarray:
+    """1-ring centroid smoothing (the other half of the reference's
+    mesh-vertex optimization, accumulate_1ring's verts_out average blended
+    by k_smooth_amount)."""
+    v = np.asarray(verts, np.float64)
+    t = np.asarray(tris)
+    acc = np.zeros_like(v)
+    cnt = np.zeros(len(v))
+    # each triangle contributes its two other vertices to each corner's ring
+    for k in range(3):
+        for other in ((k + 1) % 3, (k + 2) % 3):
+            cnt += np.bincount(t[:, k], minlength=len(v))
+            for c in range(3):
+                acc[:, c] += np.bincount(
+                    t[:, k], weights=v[t[:, other], c], minlength=len(v)
+                )
+    ring = acc / np.maximum(cnt, 1.0)[:, None]
+    has = cnt > 0
+    out = v.copy()
+    out[has] = v[has] * (1.0 - amount) + ring[has] * amount
+    return out.astype(np.float32)
+
+
 def save_mesh_obj(
     path: str | Path,
     verts: np.ndarray,
     tris: np.ndarray,
     scale: float = 1.0,
     offset=(0.0, 0.0, 0.0),
+    normals: np.ndarray | None = None,
 ):
     """OBJ export, un-warping by dataset scale/offset (testbed.cu:315).
 
@@ -220,8 +260,17 @@ def save_mesh_obj(
         f.write("# neus2_tpu marching cubes export\n")
         for p in v:
             f.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
-        for t in tris:
-            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+        if normals is not None:
+            for n in normals:
+                f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+            for t in tris:
+                f.write(
+                    f"f {t[0]+1}//{t[0]+1} {t[1]+1}//{t[1]+1} "
+                    f"{t[2]+1}//{t[2]+1}\n"
+                )
+        else:
+            for t in tris:
+                f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
 
 
 def save_mesh_ply(
@@ -231,6 +280,7 @@ def save_mesh_ply(
     scale: float = 1.0,
     offset=(0.0, 0.0, 0.0),
     colors: np.ndarray | None = None,
+    normals: np.ndarray | None = None,
 ):
     """Binary-less ASCII PLY export (reference save_mesh supports OBJ/PLY)."""
     offset = np.asarray(offset, np.float32)
@@ -240,17 +290,25 @@ def save_mesh_ply(
         f.write("ply\nformat ascii 1.0\n")
         f.write(f"element vertex {len(v)}\n")
         f.write("property float x\nproperty float y\nproperty float z\n")
+        if normals is not None:
+            f.write("property float nx\nproperty float ny\nproperty float nz\n")
         if colors is not None:
             f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
         f.write(f"element face {len(tris)}\n")
         f.write("property list uchar int vertex_indices\nend_header\n")
-        if colors is not None:
-            c8 = np.clip(colors * 255.0, 0, 255).astype(np.uint8)
-            for p, c in zip(v, c8):
-                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
-        else:
-            for p in v:
-                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        c8 = (
+            np.clip(colors * 255.0, 0, 255).astype(np.uint8)
+            if colors is not None else None
+        )
+        for i, p in enumerate(v):
+            row = f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}"
+            if normals is not None:
+                n = normals[i]
+                row += f" {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}"
+            if c8 is not None:
+                c = c8[i]
+                row += f" {c[0]} {c[1]} {c[2]}"
+            f.write(row + "\n")
         for t in tris:
             f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
 

@@ -99,11 +99,43 @@ def test_mesh_export_ply_vertex_colors(static_testbed, tmp_path):
     )
     text = path.read_text()
     assert "property uchar red" in text
+    assert "property float nx" in text
     header_end = text.index("end_header\n") + len("end_header\n")
     first = text[header_end:].splitlines()[0].split()
-    assert len(first) == 6  # x y z r g b
-    r, g, b = (int(v) for v in first[3:])
+    assert len(first) == 9  # x y z nx ny nz r g b
+    n = np.asarray([float(v) for v in first[3:6]])
+    assert abs(np.linalg.norm(n) - 1.0) < 1e-3  # unit vertex normal
+    r, g, b = (int(v) for v in first[6:])
     assert 0 <= r <= 255 and not (r == g == b == 0)
+
+
+def test_vertex_normals_and_smoothing(static_testbed, tmp_path):
+    """1-ring vertex normals (reference accumulate_1ring,
+    marching_cubes.cu:331) point outward on the trained sphere, and 1-ring
+    smoothing pulls a perturbed vertex back toward its ring centroid."""
+    from neus2_tpu.engine.mesh import smooth_vertices_1ring, vertex_normals
+
+    verts, tris = static_testbed.compute_and_save_marching_cubes_mesh(
+        tmp_path / "m.obj", resolution=64
+    )
+    normals = vertex_normals(verts, tris)
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0, atol=1e-5)
+    radial = verts - 0.5
+    radial /= np.maximum(np.linalg.norm(radial, axis=-1, keepdims=True), 1e-9)
+    cos = np.sum(normals * radial, axis=-1)
+    assert float(np.median(cos)) > 0.9  # outward, aligned with the sphere
+
+    # OBJ export wrote the normals
+    text = (tmp_path / "m.obj").read_text()
+    assert "\nvn " in text and "//" in text
+
+    # Smoothing: perturb one vertex off-surface; its ring pulls it back.
+    pert = verts.copy()
+    pert[0] += 0.05
+    sm = smooth_vertices_1ring(pert, tris, amount=1.0)
+    d_before = np.linalg.norm(pert[0] - verts[0])
+    d_after = np.linalg.norm(sm[0] - verts[0])
+    assert d_after < d_before
 
 
 def test_dynamic_scene_pose_recovery():
