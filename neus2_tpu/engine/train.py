@@ -157,7 +157,10 @@ class StepAux(NamedTuple):
     # Mean occupied ray length (over hitting rays) — drives the adaptive
     # (rays, samples) bucket choice, the fixed-shape analog of the
     # reference's rays/batch auto-tuning (testbed_nerf.cu:3434-3435).
-    mean_occ_len: jnp.ndarray = jnp.zeros(())
+    # Default is a plain float, NOT jnp.zeros(()): a device-array default
+    # would be created at import time and initialize the XLA backend before
+    # jax.distributed.initialize can run (multi-host ordering contract).
+    mean_occ_len: jnp.ndarray | float = 0.0
 
 
 class StepExtras(NamedTuple):

@@ -41,6 +41,13 @@ def initialize(coordinator_address: str | None = None,
     )
     if not explicit and not multi_env:
         return  # single-process run
+    # Multi-process CPU meshes (tests, CPU clusters) need the gloo
+    # collectives backend; harmless no-op for TPU runs.
+    try:
+        if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
