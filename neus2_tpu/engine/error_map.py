@@ -107,9 +107,27 @@ def rebuild_cdf(state: ErrorMapState) -> ErrorMapState:
     p_x = (1.0 - MIN_PDF) * em / row_sum[:, :, None] + MIN_PDF / wdt  # (N,H,W)
 
     weights = (p_img[:, None, None] * p_y[:, :, None] * p_x).reshape(-1)
-    cdf = jnp.cumsum(weights)
+    cdf = blocked_cumsum(weights)
     cdf = cdf / cdf[-1]
     return ErrorMapState(error_map=jnp.zeros_like(state.error_map), cdf=cdf)
+
+
+def blocked_cumsum(x: jnp.ndarray, block: int = 4096) -> jnp.ndarray:
+    """Two-level prefix sum: == jnp.cumsum(x) for 1D x, but TPU-safe at CDF
+    scale.  XLA:TPU lowers a long 1D cumsum to a serial scan over the whole
+    axis (a 2M-element cumsum never finished a 5-minute probe — PERF.md);
+    blocking gives scan length ``block`` vectorized over rows plus one tiny
+    scan over the per-block totals (48 views x 128^2 cells -> 786k cells =
+    192 rows here)."""
+    (n,) = x.shape
+    if n <= block:
+        return jnp.cumsum(x)
+    k = -(-n // block)
+    xp = jnp.pad(x, (0, k * block - n)).reshape(k, block)
+    inner = jnp.cumsum(xp, axis=1)
+    totals = inner[:, -1]
+    offsets = jnp.cumsum(totals) - totals  # exclusive prefix of block sums
+    return (inner + offsets[:, None]).reshape(-1)[:n]
 
 
 def sample_pixels(

@@ -91,3 +91,20 @@ def test_adjusted_cameras_identity_at_init():
     np.testing.assert_allclose(
         np.asarray(out.poses), np.asarray(cams.poses), atol=1e-6
     )
+
+
+def test_blocked_cumsum_matches_jnp():
+    """blocked_cumsum == jnp.cumsum (the TPU-safe two-level CDF prefix sum),
+    including non-multiple-of-block lengths."""
+    import numpy as np
+
+    from neus2_tpu.engine.error_map import blocked_cumsum
+
+    rng = np.random.default_rng(0)
+    for n in (5, 4096, 4097, 100_000):
+        x = jnp.asarray(rng.random(n).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(blocked_cumsum(x, block=4096)),
+            np.cumsum(np.asarray(x, np.float64)).astype(np.float32),
+            rtol=2e-5,
+        )
