@@ -194,7 +194,9 @@ def _apply_sharpen(img: np.ndarray, amount: float) -> np.ndarray:
         - p[:-2, 1:-1]
         - p[2:, 1:-1]
     ) / (cw - 4.0)
-    return out.astype(img.dtype)
+    # Reference clamps at zero (nerf_loader.cu:122 max(0.f, ...)) — keeps
+    # premultiplied RGBA non-negative.
+    return np.maximum(out, 0.0).astype(img.dtype)
 
 
 def _focal_from_json(

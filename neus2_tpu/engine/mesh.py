@@ -108,12 +108,13 @@ def save_density_grid_png(
                  resolution=resolution)
     )
     inside = g < thresh
-    # surface voxels: 2x2x2 corner blocks with a mixed sign
+    # surface voxels: 2x2x2 corner blocks with a mixed sign, anchors in
+    # [1, res-2] per axis (reference loops x,y,z from 1 to res-2 inclusive)
     c = sum(
         inside[dx:resolution - 1 + dx, dy:resolution - 1 + dy,
                dz:resolution - 1 + dz].astype(np.int32)
         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
-    )
+    )[1:, 1:, 1:]
     n_voxels = int(np.count_nonzero((c > 0) & (c < 8)))
     # lattice points whose 6-neighborhood crosses the threshold
     i = inside[1:-1, 1:-1, 1:-1]
@@ -131,7 +132,11 @@ def save_density_grid_png(
     ndown = int(np.sqrt(z))
     nacross = -(-z // ndown)
     sheet = np.zeros((h * ndown, w * nacross), np.uint8)
-    px = np.clip(128.0 + vol * (128.0 / value_range), 0, 255).astype(np.uint8)
+    # Reference mapping: clamp((v - thresh)*128/range + 128.5, 0, 255)
+    # truncated to uint8 (marching_cubes.cu:1019).
+    px = np.clip(
+        (vol - thresh) * (128.0 / value_range) + 128.5, 0, 255
+    ).astype(np.uint8)
     for k in range(z):
         r, col = divmod(k, nacross)
         sheet[r * h:(r + 1) * h, col * w:(col + 1) * w] = px[k]

@@ -31,6 +31,12 @@ def lib() -> ctypes.CDLL:
     global _lib
     if _lib is None:
         _lib = ctypes.CDLL(str(_ensure_built()))
+        # A stale .so from an older checkout may predate newer entry points
+        # (e.g. the image loader's il_*); rebuild once if any is missing.
+        if not hasattr(_lib, "il_load_batch"):
+            _lib = None
+            _SO.unlink()
+            _lib = ctypes.CDLL(str(_ensure_built()))
         _lib.mc_run.restype = ctypes.c_void_p
         _lib.mc_run.argtypes = [
             ctypes.POINTER(ctypes.c_float),

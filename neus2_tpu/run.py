@@ -93,6 +93,13 @@ def main(argv=None):
 
     import jax
 
+    # The axon TPU-tunnel platform overrides JAX_PLATFORMS; force the platform
+    # list back to cpu BEFORE anything (including distributed.is_primary)
+    # can initialize a backend (see utils/cpuforce.py).
+    from neus2_tpu.utils.cpuforce import force_cpu_if_requested
+
+    force_cpu_if_requested()
+
     primary = True
     if args.multihost:
         # Must run before any other jax call (SURVEY §5.8; the reference is
@@ -105,12 +112,6 @@ def main(argv=None):
             process_id=args.process_id,
         )
         primary = distributed.is_primary()
-
-    # The axon TPU-tunnel platform overrides JAX_PLATFORMS; force the platform
-    # list back to cpu before any backend initializes (see utils/cpuforce.py).
-    from neus2_tpu.utils.cpuforce import force_cpu_if_requested
-
-    force_cpu_if_requested()
 
     from neus2_tpu.api.testbed import Hyperparams, Testbed, config_from_json
     from neus2_tpu.engine.train import TrainConfig
@@ -246,10 +247,11 @@ def main(argv=None):
         )
         log(f"mesh: {len(verts)} vertices, {len(tris)} triangles")
 
-    if args.save_density_png:
+    if args.save_density_png and primary:
         from neus2_tpu.engine.mesh import save_density_grid_png
 
         png_path = out / "mesh" / "density_grid.png"
+        png_path.parent.mkdir(parents=True, exist_ok=True)
         from neus2_tpu.ops.warp import scene_aabb
 
         nvox, nnear = save_density_grid_png(
@@ -275,7 +277,7 @@ def main(argv=None):
         cd = chamfer_distance(verts_ds, ref_v)
         log(f"chamfer vs {args.ref_mesh}: {cd:.6f}")
 
-    if args.render_path:
+    if args.render_path and primary:
         log(f"rendering {args.render_n_frames} frames along {args.render_path}")
         render_camera_path(
             tb, args.render_path, args.render_n_frames,

@@ -194,11 +194,13 @@ def test_sharpen_on_load(tmp_path):
     flat = np.full((8, 8, 4), 0.25, np.float32)
     np.testing.assert_allclose(_apply_sharpen(flat, 0.7), flat, atol=1e-6)
 
-    # Step edge: contrast across the edge grows.
+    # Step edge: contrast grows on the bright side; output is clamped at 0
+    # (reference nerf_loader.cu:122 max(0.f, ...)).
     step = np.zeros((8, 8, 4), np.float32)
     step[:, 4:] = 1.0
     sh = _apply_sharpen(step, 0.5)
-    assert sh[0, 4, 0] > 1.0 and sh[0, 3, 0] < 0.0
+    assert sh[0, 4, 0] > 1.0 and sh[0, 3, 0] == 0.0
+    assert np.all(sh >= 0.0)
     # center_w -> inf as amount -> 0: output -> input
     np.testing.assert_allclose(_apply_sharpen(step, 1e-6), step, atol=1e-4)
 
