@@ -107,9 +107,11 @@ class TrainConfig:
     # Error-map importance sampling (reference wants_importance_sampling).
     use_error_map: bool = False
     error_map_res: int = 32
-    # Camera optimization (reference optimize_extrinsics / exposure).
+    # Camera optimization (reference optimize_extrinsics / exposure /
+    # focal_length, testbed_nerf.cu:3641-3692).
     optimize_extrinsics: bool = False
     optimize_exposure: bool = False
+    optimize_focal_length: bool = False
     cam_lr: float = 1e-4
     # Per-ray random max-level masking of the hash grid: max_level =
     # U[0,1)*2 per ray so ~50% of rays train at full level (reference
@@ -178,6 +180,10 @@ def init_cam_params(n_images: int, config: "TrainConfig | None" = None) -> Param
         "rot6d": jnp.tile(identity_6d()[None], (max(n_images, 1), 1)),
         "trans": jnp.zeros((max(n_images, 1), 3), jnp.float32),
         "exposure": jnp.zeros((max(n_images, 1), 3), jnp.float32),
+        # Shared log-scale focal correction (fx, fy) — the reference keeps
+        # ONE focal adjustment across images (m_focal_length_gradient,
+        # testbed_nerf.cu:3679-3692).
+        "focal_ln": jnp.zeros((2,), jnp.float32),
     }
     if config is not None and config.use_envmap:
         from neus2_tpu.ops.envmap import init_envmap
@@ -232,13 +238,21 @@ def make_cam_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 
 
 def adjusted_cameras(cam: Params, cameras: Cameras, config: TrainConfig) -> Cameras:
-    """Apply learnable per-image extrinsic offsets to the camera poses."""
-    if not config.optimize_extrinsics:
-        return cameras
-    rot = rotation_6d_to_matrix(cam["rot6d"])  # (N,3,3)
-    r = jnp.einsum("nij,njk->nik", rot, cameras.poses[..., :3])
-    t = cameras.poses[..., 3] + cam["trans"]
-    return cameras._replace(poses=jnp.concatenate([r, t[..., None]], axis=-1))
+    """Apply learnable camera corrections: per-image extrinsic offsets and
+    the shared focal-length scale (reference optimize_extrinsics /
+    optimize_focal_length)."""
+    if config.optimize_extrinsics:
+        rot = rotation_6d_to_matrix(cam["rot6d"])  # (N,3,3)
+        r = jnp.einsum("nij,njk->nik", rot, cameras.poses[..., :3])
+        t = cameras.poses[..., 3] + cam["trans"]
+        cameras = cameras._replace(
+            poses=jnp.concatenate([r, t[..., None]], axis=-1)
+        )
+    if config.optimize_focal_length:
+        cameras = cameras._replace(
+            focal=cameras.focal * jnp.exp(cam["focal_ln"])[None, :]
+        )
+    return cameras
 
 
 # ---------------------------------------------------------------------------
@@ -478,6 +492,7 @@ def train_step(
     # Differentiate ONLY the actively-trained param groups (static flags).
     train_cam = train_canonical and (
         config.optimize_extrinsics or config.optimize_exposure
+        or config.optimize_focal_length
         or config.use_envmap or config.use_distortion
         or config.field.latent_dim > 0
     )

@@ -108,3 +108,38 @@ def test_blocked_cumsum_matches_jnp():
             np.cumsum(np.asarray(x, np.float64)).astype(np.float32),
             rtol=2e-5,
         )
+
+
+def test_focal_length_optimization():
+    """Shared focal-length correction (reference optimize_focal_length,
+    testbed_nerf.cu:3679-3692): identity at init, and gradients flow into
+    cam['focal_ln'] when cameras carry a miscalibrated focal."""
+    from neus2_tpu.engine.train import init_cam_params, occupancy_update
+
+    ds = make_sphere_dataset(n_views=4, resolution=24)
+    cams = ds.cameras()
+
+    # exp(0) = 1: no focal change at init.
+    cam0 = init_cam_params(4)
+    cfg = _cfg(optimize_focal_length=True)
+    out = adjusted_cameras(cam0, cams, cfg)
+    np.testing.assert_allclose(np.asarray(out.focal), np.asarray(cams.focal),
+                               rtol=1e-7)
+
+    # Miscalibrate the focal by +10% and train: focal_ln must receive
+    # gradient (move off zero), unlike with the flag disabled.
+    bad = cams._replace(focal=cams.focal * 1.1)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, n_images=4)
+    state = occupancy_update(state, cfg)
+    images = ds.images_device()
+    for _ in range(3):
+        state, aux = train_step(state, images, bad, cfg)
+    assert np.isfinite(float(aux.loss))
+    assert float(jnp.abs(state.cam["focal_ln"]).max()) > 0
+
+    cfg_off = _cfg()
+    state2 = init_train_state(jax.random.PRNGKey(0), cfg_off, n_images=4)
+    state2 = occupancy_update(state2, cfg_off)
+    for _ in range(2):
+        state2, _ = train_step(state2, images, bad, cfg_off)
+    assert float(jnp.abs(state2.cam["focal_ln"]).max()) == 0.0
