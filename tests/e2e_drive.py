@@ -34,14 +34,22 @@ from neus2_tpu.ops.image import psnr
 
 
 def small_config(n_rays=512, samples=32, compute_dtype=None) -> TrainConfig:
+    # E2E_LEVELS/E2E_FEATURES: level-count vs row-width quality probes at
+    # fixed table capacity (PERF.md: step cost scales with n_levels on TPU;
+    # L8F2 parity, L4F4 and coarser-level/wider-row variants).
+    n_levels = int(os.environ.get("E2E_LEVELS", "8"))
+    n_feat = int(os.environ.get("E2E_FEATURES", "2"))
     return TrainConfig(
         field=FieldConfig(
             compute_dtype=compute_dtype,
             grid=HashGridConfig(
-                n_levels=8,
+                n_levels=n_levels,
+                n_features_per_level=n_feat,
                 log2_hashmap_size=15,
                 base_resolution=16,
-                per_level_scale=HashGridConfig.per_level_scale_from_top(16, 256, 8),
+                per_level_scale=HashGridConfig.per_level_scale_from_top(
+                    16, 256, n_levels
+                ),
             ),
         ),
         n_rays=n_rays,
