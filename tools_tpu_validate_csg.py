@@ -94,6 +94,15 @@ def main():
             base_resolution=16,
             per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 7),
         )
+    elif os.environ.get("CSG_CONFIG", "") == "l4f8":
+        # Wider-row candidate: 3.5x fewer lookups than L14/F2 at the same
+        # table capacity (PERF.md speed-of-light note; quality-neutral on
+        # the easy e2e scene — this run is the hard-scene check).
+        grid = HashGridConfig(
+            n_levels=4, n_features_per_level=8, log2_hashmap_size=19,
+            base_resolution=16,
+            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 4),
+        )
     else:
         grid = HashGridConfig(
             n_levels=14, log2_hashmap_size=19, base_resolution=16,
