@@ -207,6 +207,12 @@ def main(argv=None):
                         out / "checkpoints" / f"frame_{last_frame - 1}.msgpack",
                         incremental=True,
                     )
+                    # Per-frame accumulated R|t export (reference
+                    # run_dynamic.py saves transforms each frame via
+                    # testbed.cu:3118 save_transform).
+                    tb.save_transform(
+                        out / "checkpoints" / f"transform_{last_frame - 1}.txt"
+                    )
             if step % 100 == 0:
                 log(
                     f"step {step} (frame {tb.current_training_time_frame} "
