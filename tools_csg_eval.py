@@ -1,0 +1,100 @@
+"""Re-evaluate a finished CSG validation snapshot with adjustable render
+settings — separates model quality from eval-time sampling error.
+
+Usage: python tools_csg_eval.py <snapshot.msgpack> [samples_per_ray] [spp]
+Env: CSG_VIEWS / CSG_EVAL_VIEWS / CSG_RES / CSG_CONFIG as in
+tools_tpu_validate_csg.py (must match the training run's protocol).
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/neus2_jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from neus2_tpu.api.testbed import Hyperparams, Testbed
+from neus2_tpu.data.synthetic import make_csg_dataset
+from neus2_tpu.engine.render import RenderConfig, render_image
+from neus2_tpu.ops.image import psnr, ssim
+from neus2_tpu.ops.losses import linear_to_srgb
+
+
+def main():
+    snap = sys.argv[1]
+    samples = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    spp = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_train = int(os.environ.get("CSG_VIEWS", "48"))
+    n_eval = int(os.environ.get("CSG_EVAL_VIEWS", "2"))
+    res = int(os.environ.get("CSG_RES", "256"))
+
+    import tools_tpu_validate_csg as v
+
+    os.environ.setdefault("CSG_VIEWS", str(n_train))
+    # Rebuild the exact training-time config via the validator's switch.
+    ds = make_csg_dataset(n_views=n_train + n_eval, resolution=res)
+    cams = ds.cameras()
+    imgs = jnp.asarray(ds.images)
+
+    # Mirror the validator's config construction.
+    import dataclasses
+
+    from neus2_tpu.engine.train import TrainConfig
+    from neus2_tpu.models.field import FieldConfig
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+
+    name = os.environ.get("CSG_CONFIG", "")
+    if name == "tpu_opt":
+        grid = HashGridConfig(
+            n_levels=7, n_features_per_level=4, log2_hashmap_size=19,
+            base_resolution=16,
+            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 7))
+    elif name == "l4f8":
+        grid = HashGridConfig(
+            n_levels=4, n_features_per_level=8, log2_hashmap_size=19,
+            base_resolution=16,
+            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 4))
+    else:
+        grid = HashGridConfig(
+            n_levels=14, log2_hashmap_size=19, base_resolution=16,
+            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 14))
+    config = TrainConfig(field=FieldConfig(grid=grid), n_rays=4096,
+                         samples_per_ray=64, n_candidates=256,
+                         ek_loss_weight=0.1, mask_loss_weight=0.1)
+
+    tb = Testbed(config=config, hyper=Hyperparams())
+    tb.load_training_data_from_datasets([
+        dataclasses.replace(
+            ds, images=ds.images[:n_train], poses=ds.poses[:n_train],
+            focal=ds.focal[:n_train], principal=ds.principal[:n_train],
+        )
+    ])
+    tb.load_snapshot(snap)
+    print(f"snapshot at step {tb.training_step}", flush=True)
+
+    rcfg = RenderConfig(field=config.field, samples_per_ray=samples,
+                        n_candidates=max(256, samples * 2), chunk=1 << 13)
+    ps, ss = [], []
+    for k in range(n_train, n_train + n_eval):
+        rgb, _, _ = render_image(
+            tb.state.ema_params, tb.state.acc, tb.state.occupancy,
+            cams, cams.poses[k], cams.focal[k], cams.principal[k],
+            jax.random.PRNGKey(k), rcfg, background=0.0, spp=spp,
+        )
+        tex = imgs[k]
+        a = tex[..., 3:4]
+        target = jnp.where(
+            a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a,
+            0.0)
+        p, s = float(psnr(jnp.asarray(rgb), target)), float(ssim(jnp.asarray(rgb), target))
+        ps.append(p); ss.append(s)
+        print(f"view {k}: PSNR {p:.2f} SSIM {s:.4f} "
+              f"(samples={samples}, spp={spp})", flush=True)
+    print(f"mean PSNR {np.mean(ps):.2f} dB  SSIM {np.mean(ss):.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
