@@ -31,10 +31,6 @@ def main():
     n_eval = int(os.environ.get("CSG_EVAL_VIEWS", "2"))
     res = int(os.environ.get("CSG_RES", "256"))
 
-    import tools_tpu_validate_csg as v
-
-    os.environ.setdefault("CSG_VIEWS", str(n_train))
-    # Rebuild the exact training-time config via the validator's switch.
     ds = make_csg_dataset(n_views=n_train + n_eval, resolution=res)
     cams = ds.cameras()
     imgs = jnp.asarray(ds.images)
