@@ -144,3 +144,40 @@ def test_bf16_backward_close_to_fp32():
     for a, b in zip(jax.tree_util.tree_leaves(g32), jax.tree_util.tree_leaves(g16)):
         denom = jnp.abs(a).max() + 1e-6
         assert float(jnp.abs(a - b).max() / denom) < 2e-2
+
+
+def test_f8_wide_rows_match_oracle():
+    """F=8 rows (the wider-row L4F8 candidate): forward, jacobian, and the
+    custom-VJP gradient all match the oracle."""
+    cfg = HashGridConfig(
+        n_levels=3, n_features_per_level=8, log2_hashmap_size=11,
+        base_resolution=4, per_level_scale=2.0,
+    )
+    tables = init_hashgrid_tables(jax.random.PRNGKey(0), cfg)
+    tables = tuple(t * 1e3 for t in tables)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (48, 3),
+                           minval=0.05, maxval=0.95)
+    fast = make_encode_jac(cfg)
+    feat, jac = fast(tables, x)
+    table_cat = jnp.concatenate(tables, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(feat), np.asarray(hashgrid_encode(table_cat, x, cfg)),
+        rtol=1e-5, atol=1e-6,
+    )
+    _, jac_ref = encode_jac_reference(tables, x, cfg)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_fast(t):
+        f, j = fast(t, x)
+        return (f ** 2).sum() + (j * 0.1).sum()
+
+    def loss_ref(t):
+        f, j = encode_jac_reference(t, x, cfg)
+        return (f ** 2).sum() + (j * 0.1).sum()
+
+    g_fast = jax.grad(loss_fast)(tables)
+    g_ref = jax.grad(loss_ref)(tables)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

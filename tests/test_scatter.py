@@ -176,3 +176,9 @@ def test_segment_dense_sum_multi_matches_scatter():
         np.add.at(ref, np.asarray(idx_list[l]), u)
         a = np.asarray(packed[l])
         assert np.abs(a - ref).max() / (np.abs(ref).max() + 1e-9) < 1e-5
+
+
+def test_sorttile_f8():
+    """F=8 payload (4 packed-bf16 int32 operands) — the wider-row L4F8
+    candidate config's backward path."""
+    _sorttile_check(1 << 12, 1 << 11, 8, 4)
