@@ -124,7 +124,6 @@ def _bench_converged(
 ):
     import dataclasses
 
-    from neus2_tpu.constants import STEPSIZE
     from neus2_tpu.engine.train import occupancy_update, train_step
 
     # Converged operating point: the occupied-shell width tracks the NeuS
@@ -160,15 +159,9 @@ def _bench_converged(
     occ_len = float(aux.mean_occ_len)
     _note(f"occ_len {occ_len:.4f}")
 
-    s_needed = 0.75 * occ_len / STEPSIZE
-    s0 = config.samples_per_ray
-    bucket = 0
-    while (
-        bucket < 3
-        and (s0 >> (bucket + 1)) >= config.min_samples_per_ray
-        and (s0 >> (bucket + 1)) >= s_needed
-    ):
-        bucket += 1
+    from neus2_tpu.engine.train import desired_batch_bucket
+
+    bucket = desired_batch_bucket(occ_len, config)
 
     details = {
         "from_scratch": round(rays_scratch, 1),

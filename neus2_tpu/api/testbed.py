@@ -207,6 +207,7 @@ class Testbed:
         self.batch_bucket = 0
         self._occ_len_ema = None
         self._bucket_votes = 0
+        self._bucket_vote_target = None
         self.meters = Meters()
         # Called with the finished frame index just before a dynamic frame
         # switch (per-frame eval hook; reference run_dynamic.py:183-201).
@@ -260,13 +261,14 @@ class Testbed:
                 )
         # Probe budget must cover the grid: the reference probes ALL
         # 128^3*cascades cells every step for the first 256 steps
-        # (testbed_nerf.cu:4003-4016); our round-robin QUARTER sweeps the
-        # grid in n_cells/(n_probe/4) updates — size it to finish one full
-        # sweep within those 256 early updates.
+        # (testbed_nerf.cu:4003-4016); our permutation sweep advances the
+        # FULL n_probe per update (engine/occupancy.py probe_cells), so the
+        # grid is swept in n_cells/n_probe updates — size it to finish one
+        # full sweep within those 256 early updates.
         from neus2_tpu.constants import NERF_GRIDSIZE
 
         n_cells = self.config.occ_cascades * NERF_GRIDSIZE**3
-        need = 1 << max(0, (4 * n_cells // 256 - 1)).bit_length()
+        need = 1 << max(0, (n_cells // 256 - 1)).bit_length()
         if need > self.config.occ_n_probe:
             self.config = dataclasses.replace(self.config, occ_n_probe=need)
         # Error-map resolution from the first accumulation window's sample
@@ -471,20 +473,19 @@ class Testbed:
             return
         if not (occ_len == occ_len) or occ_len <= 0.0:
             return
-        from neus2_tpu.constants import STEPSIZE
+        from neus2_tpu.engine.train import desired_batch_bucket
 
         ema = self._occ_len_ema
         self._occ_len_ema = occ_len if ema is None else 0.8 * ema + 0.2 * occ_len
-        s_needed = 0.75 * self._occ_len_ema / STEPSIZE
-        s0 = self.config.samples_per_ray
-        desired = 0
-        while (
-            desired < 3
-            and (s0 >> (desired + 1)) >= self.config.min_samples_per_ray
-            and (s0 >> (desired + 1)) >= s_needed
-        ):
-            desired += 1
+        desired = desired_batch_bucket(self._occ_len_ema, self.config)
         if desired != self.batch_bucket:
+            # Votes must agree on the SAME target bucket: reset the counter
+            # when the desired value changes, or 3 mixed disagreeing reads
+            # near a boundary would trigger a switch (each switch costs a
+            # fresh multi-minute TPU compile).
+            if desired != self._bucket_vote_target:
+                self._bucket_vote_target = desired
+                self._bucket_votes = 0
             self._bucket_votes += 1
             if self._bucket_votes >= 3:
                 b = desired

@@ -27,11 +27,11 @@ MAX_CONE_STEPSIZE = STEPSIZE * (1 << (NERF_CASCADES - 1)) * NERF_STEPS / NERF_GR
 # (reference NERF_MIN_OPTICAL_THICKNESS(), testbed_nerf.cu:75: 0.1 for NeuS).
 NERF_MIN_OPTICAL_THICKNESS = 0.1
 # Fallback per-update density decay (merge_probes default).  The production
-# path (engine/train.py occupancy_update) instead calibrates the decay to
-# the hot-list rotation period — 0.25 ** (1/rotation_updates) — so a true
-# cell's guaranteed re-measurement always outruns its decay; see
-# engine/occupancy.py merge_probes for the measured failure modes of fixed
-# rates (reference's own rate is 0.95/step backed by ~1M probes/step).
+# path (engine/train.py occupancy_update:632) instead calibrates the decay
+# to the permutation-sweep period — 0.5 ** (1/updates_per_full_sweep) — so
+# no cell is forgotten faster than the sweep re-measures it; see
+# engine/occupancy.py's module docstring for the measured failure modes of
+# fixed rates (reference's own rate is 0.95/step backed by ~1M probes/step).
 DENSITY_GRID_DECAY = 0.95
 
 # Rendering ---------------------------------------------------------------

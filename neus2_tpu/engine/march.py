@@ -29,14 +29,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from neus2_tpu.constants import MAX_CONE_STEPSIZE, MIN_CONE_STEPSIZE
+from neus2_tpu.constants import MIN_CONE_STEPSIZE
 from neus2_tpu.engine.occupancy import OccupancyGrid, occupancy_at
 from neus2_tpu.ops.warp import AABB
-
-
-def calc_dt(t: jnp.ndarray, cone_angle: float) -> jnp.ndarray:
-    """Reference calc_dt (testbed_nerf.cu): clamp(t*cone, dt_min, dt_max)."""
-    return jnp.clip(t * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
 
 
 def cone_angle_for_scene(aabb_scale: float, constant: float = 1.0 / 256.0) -> float:
@@ -126,8 +121,16 @@ def march_rays(
     cone_angle: float = 0.0,
     near: float = 0.0,
     jitter: bool = True,
+    probe_jitter: bool | None = None,
 ) -> MarchedSamples:
-    """Draw exactly ``budget`` samples per ray from the occupied-length CDF."""
+    """Draw exactly ``budget`` samples per ray from the occupied-length CDF.
+
+    ``jitter`` controls the stratified sample draws (spp averaging);
+    ``probe_jitter`` (default: follow ``jitter``) controls the per-candidate
+    occupancy probe point.  The render path passes ``probe_jitter=False`` so
+    the valid-candidate set is the deterministic-midpoint one that
+    ``march_probe`` computes — hit-ray compaction is then exact even for
+    jittered multi-spp renders."""
     R = origins.shape[0]
     tmin, tmax = aabb.ray_intersect(origins, directions)
     tmin = jnp.maximum(tmin, near)
@@ -138,7 +141,9 @@ def march_rays(
     # intervals wider than an occupancy cell (exponential spacing in large
     # scenes) still hit a thin occupied shell in expectation; deterministic
     # midpoint for rendering.
-    if jitter:
+    if probe_jitter is None:
+        probe_jitter = jitter
+    if probe_jitter:
         key, k_probe = jax.random.split(key)
         u_c = jax.random.uniform(k_probe, t0.shape)
     else:

@@ -72,6 +72,10 @@ def _render_chunk(
         cone_angle=config.cone_angle,
         near=config.near,
         jitter=jitter,
+        # Deterministic candidate probes: the render's valid-candidate set
+        # must equal march_probe's so hit-ray compaction stays exact under
+        # jittered multi-spp renders (sample placement stays jittered).
+        probe_jitter=False,
     )
     R, S = origins.shape[0], config.samples_per_ray
     pos = origins[:, None, :] + samples.t[..., None] * dirs[:, None, :]
@@ -253,11 +257,18 @@ def render_image(
     rgb output already lives in sRGB space.
     """
     w, h = resolution or cameras.resolution
+    # Carry the dataset's lens model: rendering through a distorted camera
+    # must cast the same (undistorted) rays as training, or eval renders are
+    # geometrically misaligned with captured GT (reference
+    # init_rays_from_camera applies the identical distortion,
+    # testbed_nerf.cu:2208-2331).  Per-pixel ray files and rolling shutter
+    # are per-training-image data and do not apply to a novel pose.
     one_cam = Cameras(
         poses=pose[None],
         focal=jnp.asarray(focal)[None],
         principal=jnp.asarray(principal)[None],
         resolution=(w, h),
+        distortion=cameras.distortion,
     )
     u = (jnp.arange(w) + 0.5) / w
     v = (jnp.arange(h) + 0.5) / h

@@ -237,6 +237,40 @@ def make_cam_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(config.cam_lr, b1=0.9, b2=0.99, eps=1e-8)
 
 
+def desired_batch_bucket(occ_len_ema: float, config: TrainConfig) -> int:
+    """Adaptive-batch bucket choice: bucket b trades samples for rays at a
+    constant sample budget, (n_rays << b) x (samples >> b), once the
+    occupied chord is short enough (reference rays/batch auto-tune,
+    testbed_nerf.cu:3434-3435).  Shared by the Testbed and bench.py so the
+    benchmark's converged operating point is the production formula."""
+    from neus2_tpu.constants import STEPSIZE
+
+    s_needed = 0.75 * occ_len_ema / STEPSIZE
+    s0 = config.samples_per_ray
+    b = 0
+    while (
+        b < 3
+        and (s0 >> (b + 1)) >= config.min_samples_per_ray
+        and (s0 >> (b + 1)) >= s_needed
+    ):
+        b += 1
+    return b
+
+
+def wants_cam_training(config: TrainConfig) -> bool:
+    """True when any camera-side param group needs gradients.  ONE shared
+    predicate — the single-chip and both parallel step builders must agree,
+    or a flag silently stops training under multichip."""
+    return (
+        config.optimize_extrinsics
+        or config.optimize_exposure
+        or config.optimize_focal_length
+        or config.use_envmap
+        or config.use_distortion
+        or config.field.latent_dim > 0
+    )
+
+
 def adjusted_cameras(cam: Params, cameras: Cameras, config: TrainConfig) -> Cameras:
     """Apply learnable camera corrections: per-image extrinsic offsets and
     the shared focal-length scale (reference optimize_extrinsics /
@@ -490,12 +524,7 @@ def train_step(
         config = dataclasses.replace(config, use_error_map=False)
 
     # Differentiate ONLY the actively-trained param groups (static flags).
-    train_cam = train_canonical and (
-        config.optimize_extrinsics or config.optimize_exposure
-        or config.optimize_focal_length
-        or config.use_envmap or config.use_distortion
-        or config.field.latent_dim > 0
-    )
+    train_cam = train_canonical and wants_cam_training(config)
     diff = {}
     if train_canonical:
         diff["params"] = state.params

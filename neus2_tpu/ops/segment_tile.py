@@ -29,7 +29,7 @@ sort, matching the reference's fp16 atomics precision.
 
 CAPACITY CONTRACT: each tile's updates must fit the DMA window
 (``elems_cap``).  With hashed (uniform) indices and the default
-cap = max(4096, 4x the mean tile load) the overflow probability is
+cap = max(2048, 4x the mean tile load) the overflow probability is
 astronomically small; use this path for hashed levels only — dense coarse
 levels concentrate load and go through ``ops.scatter.segment_dense_sum``.
 ``debug_overflow_check`` measures the true max load for tests/tuning.
@@ -424,7 +424,8 @@ def _packed_kernel(row_block: int, chunk: int, p: int):
             local = idx_s[slot] - base  # (1, chunk); <0 or >=rb match nothing
             # (p, chunk) int32 -> (2p, chunk) bf16: sublane k of the bitcast
             # holds one 16-bit half of each int32 (hardware layout verified
-            # by tests/test_segment_tile.py::test_packed_kernel_*).
+            # by the packed-path equality tests in tests/test_scatter.py,
+            # test_sorttile_*).
             vals = pltpu.bitcast(pay_s[slot], jnp.bfloat16)  # (2p, chunk)
             onehot_t = (rows == local).astype(jnp.bfloat16)  # (rb, chunk)
             return acc + jax.lax.dot_general(

@@ -37,6 +37,7 @@ from neus2_tpu.engine.train import (
     _forward_loss,
     make_cam_optimizer,
     make_delta_optimizer,
+    wants_cam_training,
 )
 from neus2_tpu.utils.optim import ema_update, make_optimizer
 
@@ -120,11 +121,7 @@ def parallel_train_step(
     if config.use_error_map and train_delta and not train_canonical:
         config = dataclasses.replace(config, use_error_map=False)
 
-    train_cam = train_canonical and (
-        config.optimize_extrinsics or config.optimize_exposure
-        or config.use_envmap or config.use_distortion
-        or config.field.latent_dim > 0
-    )
+    train_cam = train_canonical and wants_cam_training(config)
 
     def device_grads(diff, state_, images_, cameras_, key_, depths_):
         key_ = jax.random.fold_in(key_, jax.lax.axis_index("data"))
@@ -267,11 +264,7 @@ def _train_step_zero1(
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
 
-    train_cam = (
-        config.optimize_extrinsics or config.optimize_exposure
-        or config.use_envmap or config.use_distortion
-        or config.field.latent_dim > 0
-    )
+    train_cam = wants_cam_training(config)
 
     diff = {"params": state.params}
     if train_delta:

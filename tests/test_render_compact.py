@@ -114,3 +114,22 @@ def test_render_image_empty_occupancy_is_background(setup):
     np.testing.assert_allclose(
         np.asarray(img), float(linear_to_srgb(jnp.asarray(0.2))), atol=1e-6
     )
+
+
+def test_compact_render_exact_with_jitter(setup):
+    """The exactness contract must hold for jittered (multi-spp) renders
+    too: candidate probes are deterministic (probe_jitter=False) even when
+    sample placement is jittered, so a probe-miss ray composites to exactly
+    zero no matter the key."""
+    cfg, cams, state, occ, rcfg, o, d = setup
+    hit = probe_hit_rays(state.acc, occ, o, d, rcfg)
+    miss = np.setdiff1d(np.arange(o.shape[0]), hit)
+    for k in range(3):
+        full = render_rays(
+            state.ema_params, state.acc, occ, o, d,
+            jax.random.PRNGKey(100 + k), rcfg, jitter=True,
+        )
+        for f in full:
+            assert float(jnp.abs(jnp.asarray(f)[miss]).max()) == 0.0
+        # and hit rays render nonzero somewhere (the probe is not vacuous)
+        assert float(jnp.abs(jnp.asarray(full[2])[hit]).max()) > 0.0
