@@ -29,12 +29,35 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 BASELINE_RAYS_PER_S = 33_000.0
 
 
-def flagship_config():
+def flagship_config(variant: str = "parity"):
     import jax.numpy as jnp
 
     from neus2_tpu.engine.train import TrainConfig
     from neus2_tpu.models.field import FieldConfig
     from neus2_tpu.ops.hashgrid import HashGridConfig
+
+    if variant != "parity":
+        # Wider-row variants at the same table capacity / feature width
+        # (PERF.md speed-of-light: step cost scales with the level count).
+        # NOT the headline — the driver's plain `python bench.py` stays on
+        # the reference-parity L14/F2 config.
+        levels, feats = {"tpu_opt": (7, 4), "l4f8": (4, 8)}[variant]
+        return TrainConfig(
+            field=FieldConfig(
+                compute_dtype=jnp.bfloat16,
+                grid=HashGridConfig(
+                    n_levels=levels, n_features_per_level=feats,
+                    log2_hashmap_size=19, base_resolution=16,
+                    per_level_scale=HashGridConfig.per_level_scale_from_top(
+                        16, 2048, levels
+                    ),
+                ),
+            ),
+            n_rays=4096,
+            samples_per_ray=64,
+            n_candidates=256,
+            mask_loss_weight=0.1,
+        )
 
     # Flagship config: base.json-scale hashgrid, 4096 rays x 64 samples
     # (the reference's 2^18-sample batch geometry).  bf16 compute matches
@@ -73,7 +96,7 @@ def _setup(config):
     return state, images, cameras
 
 
-def bench_single(n_iters=20, warm_steps=48):
+def bench_single(n_iters=20, warm_steps=48, variant="parity"):
     """Rays/s in BOTH training regimes; returns (headline, details).
 
     from-scratch: bucket-0 batch geometry (4096 rays x 64 samples — every
@@ -90,7 +113,7 @@ def bench_single(n_iters=20, warm_steps=48):
     from neus2_tpu.constants import STEPSIZE
     from neus2_tpu.engine.train import occupancy_update, train_step
 
-    config = flagship_config()
+    config = flagship_config(variant)
     _note("setup (dataset + prior sweep)")
     state, images, cameras = _setup(config)
 
@@ -268,6 +291,9 @@ def main():
     p.add_argument("--zero1", action="store_true",
                    help="scaling mode: shard table grads + optimizer state")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--config", default="parity",
+                   choices=("parity", "tpu_opt", "l4f8"),
+                   help="network variant (headline stays parity)")
     args = p.parse_args()
 
     _probe_backend()
@@ -291,7 +317,7 @@ def main():
         )
         return
 
-    rays_per_s, details = bench_single(args.iters)
+    rays_per_s, details = bench_single(args.iters, variant=args.config)
     print(
         json.dumps(
             {
