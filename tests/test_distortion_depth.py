@@ -151,3 +151,45 @@ def test_depth_supervision_reachable_from_testbed(tmp_path):
     while tb.frame():
         pass
     assert np.isfinite(tb.loss_scalar)
+
+
+def test_render_image_uses_lens_distortion():
+    """Eval renders must cast the dataset's distorted-camera rays
+    (reference init_rays_from_camera applies the identical lens model,
+    testbed_nerf.cu:2208-2331) — a pinhole render against distortion-
+    captured GT is geometrically misaligned."""
+    from neus2_tpu.data.synthetic import make_sphere_dataset
+    from neus2_tpu.engine.render import RenderConfig, render_image
+    from neus2_tpu.engine.train import TrainConfig, init_train_state
+    from neus2_tpu.models.field import FieldConfig
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+
+    cfg = TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(n_levels=3, log2_hashmap_size=10,
+                                base_resolution=8, per_level_scale=1.5),
+            sdf_hidden_dim=16, rgb_hidden_dim=16,
+        ),
+        n_rays=32, samples_per_ray=8, n_candidates=16, occ_n_probe=1 << 9,
+    )
+    ds = make_sphere_dataset(n_views=2, resolution=24)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, n_images=2)
+    from neus2_tpu.engine.train import occupancy_update
+
+    state = occupancy_update(state, cfg)
+    rcfg = RenderConfig(field=cfg.field, samples_per_ray=8, n_candidates=16,
+                        chunk=24 * 24)
+
+    def render(cams):
+        img, depth, alpha = render_image(
+            state.ema_params, state.acc, state.occupancy, cams,
+            cams.poses[0], cams.focal[0], cams.principal[0],
+            jax.random.PRNGKey(0), rcfg, spp=1,
+        )
+        return np.asarray(alpha)
+
+    pin = ds.cameras()
+    dist = pin._replace(distortion=PARAMS)
+    a0, a1 = render(pin), render(dist)
+    # The sphere silhouette must shift under the lens model.
+    assert a0.shape == a1.shape and not np.allclose(a0, a1)
