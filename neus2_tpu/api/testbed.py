@@ -608,10 +608,40 @@ class Testbed:
         return True
 
     def prepare_for_test(self):
-        """Freeze the delta path for rendering (testbed.cu:1987-1999)."""
-        self.use_delta = False
+        """Set the delta gate for test rendering (testbed.cu:1987-1999).
+
+        Reference semantics: frame 0 (or no delta prediction) renders without
+        the per-frame delta; frames >= 1 with a learned delta render WITH it
+        (under the shipped config, ``finetune_global_movement=true`` keeps
+        m_train_delta alive through the frame, so m_use_delta stays true at
+        eval).  We key on predict_global_movement rather than train_delta:
+        with finetune=false the reference silently stops applying the
+        converged delta after the refinement boundary — dropping the very
+        alignment it just learned — which is a latent upstream bug its
+        shipped config never exercises.
+        """
+        self.use_delta = (
+            self.current_training_time_frame > 0
+            and bool(self.hyper.predict_global_movement)
+        )
 
     # -- rendering / eval ---------------------------------------------------
+
+    @property
+    def effective_acc(self):
+        """The rigid transform renders must apply: the accumulated R|t,
+        composed with the live per-frame delta while it is active.
+
+        During frame k >= 1 the converged delta has NOT yet been folded into
+        ``state.acc`` (folding happens at the next frame switch,
+        training_network_next_frame); the train step applies acc to rays and
+        the delta to samples (engine/train.py).  Rendering with only
+        ``state.acc`` would therefore be misaligned with the frame's images
+        by exactly the per-frame motion.  accumulate_delta composes the two
+        maps identically to the train path (models/delta.py)."""
+        if self.use_delta and self.state is not None:
+            return delta_mod.accumulate_delta(self.state.acc, self.state.delta)
+        return self.state.acc
 
     def render(
         self,
@@ -627,7 +657,7 @@ class Testbed:
         params = self.state.ema_params if use_ema else self.state.params
         rgb, depth, alpha = render_image(
             params,
-            self.state.acc,
+            self.effective_acc,
             self.state.occupancy,
             self.cameras,
             self.cameras.poses[img_idx],

@@ -330,7 +330,7 @@ def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
     for i in range(ds.n_images):
         rgb, _, _ = render_image(
             tb.state.ema_params,
-            tb.state.acc,
+            tb.effective_acc,
             tb.state.occupancy,
             cams,
             cams.poses[i],
@@ -399,7 +399,7 @@ def render_camera_path(
             resolution=(w, h),
         )
         rgb, _, _ = render_image(
-            tb.state.ema_params, tb.state.acc, tb.state.occupancy,
+            tb.state.ema_params, tb.effective_acc, tb.state.occupancy,
             cams, cams.poses[0], cams.focal[0], cams.principal[0],
             jax.random.PRNGKey(k), cfg, background=0.0, spp=spp,
         )
@@ -443,7 +443,7 @@ def _make_per_frame_eval(log):
         )
         cams = tb.cameras
         rgb, _, _ = render_image(
-            tb.state.ema_params, tb.state.acc, tb.state.occupancy, cams,
+            tb.state.ema_params, tb.effective_acc, tb.state.occupancy, cams,
             cams.poses[0], cams.focal[0], cams.principal[0],
             jax.random.PRNGKey(0), cfg, background=0.0, spp=1,
         )

@@ -270,3 +270,74 @@ def test_mesh_largest_component_filter(static_testbed, tmp_path):
         keep_largest_component=True,
     )
     assert 0 < t_lc.shape[0] <= t_all.shape[0]
+
+
+def test_render_applies_live_delta(static_testbed):
+    """Eval renders during dynamic frames >= 1 must apply the live
+    (not-yet-folded) per-frame delta composed with the accumulated transform
+    (reference prepare_for_test, testbed.cu:1987-1999: frames >= 1 render
+    with m_use_delta=true under the shipped finetune_global_movement=true)."""
+    from neus2_tpu.engine.render import RenderConfig, render_image
+    from neus2_tpu.models import delta as delta_mod
+
+    tb = static_testbed
+    # Manufacture a frame-1 state with a known pure-translation delta.
+    delta = delta_mod.init_delta()
+    delta = {**delta, "transition": jnp.asarray([0.08, 0.0, 0.0], jnp.float32)}
+    import dataclasses
+
+    old = (tb.current_training_time_frame, tb.use_delta, tb.hyper)
+    try:
+        tb.current_training_time_frame = 1
+        tb.hyper = dataclasses.replace(tb.hyper, predict_global_movement=False)
+        tb.prepare_for_test()
+        # With delta prediction off there is no delta to apply at eval.
+        assert not tb.use_delta
+        tb.current_training_time_frame = 0
+        tb.hyper = old[2]
+        tb.prepare_for_test()
+        # Frame 0 never has a per-frame delta (reference branch 1).
+        assert not tb.use_delta
+    finally:
+        tb.current_training_time_frame, tb.use_delta, tb.hyper = old
+
+    # With predict_global_movement on, prepare_for_test keeps the delta.
+    tb2 = Testbed(
+        config=tiny_config(),
+        hyper=Hyperparams(
+            first_frame_max_training_step=1, predict_global_movement=True
+        ),
+    )
+    tb2.load_training_data_from_datasets([make_sphere_dataset(4, 32)])
+    tb2.frame()
+    tb2.current_training_time_frame = 1
+    tb2.state = tb2.state._replace(delta=delta)
+    tb2.prepare_for_test()
+    assert tb2.use_delta
+
+    # effective_acc == fold of (acc, delta); raw acc stays untouched.
+    eff = jax.device_get(tb2.effective_acc)
+    want = jax.device_get(
+        delta_mod.accumulate_delta(tb2.state.acc, tb2.state.delta)
+    )
+    np.testing.assert_allclose(eff["transition"], want["transition"])
+    np.testing.assert_allclose(eff["rotation"], want["rotation"])
+
+    # And Testbed.render actually uses it: same output as render_image with
+    # the composed transform, different from render_image with the raw acc.
+    cfg = RenderConfig(field=tb2.config.field, samples_per_ray=16,
+                       n_candidates=48, chunk=1 << 11)
+    rgb, _, _ = tb2.render(img_idx=0, render_cfg=cfg)
+    cams = tb2.cameras
+    rgb_eff, _, _ = render_image(
+        tb2.state.ema_params, tb2.effective_acc, tb2.state.occupancy, cams,
+        cams.poses[0], cams.focal[0], cams.principal[0],
+        jax.random.PRNGKey(7), cfg, background=0.0, spp=1,
+    )
+    rgb_raw, _, _ = render_image(
+        tb2.state.ema_params, tb2.state.acc, tb2.state.occupancy, cams,
+        cams.poses[0], cams.focal[0], cams.principal[0],
+        jax.random.PRNGKey(7), cfg, background=0.0, spp=1,
+    )
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_eff), atol=1e-5)
+    assert float(jnp.abs(rgb_eff - rgb_raw).max()) > 1e-3
