@@ -63,6 +63,9 @@ def parse_args(argv=None):
                    help="L2 depth-supervision weight; depth maps load from "
                         "per-frame depth_path + integer_depth_scale")
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--grid_stats", action="store_true",
+                   help="log per-level hashgrid weight stats after training "
+                        "(reference gather_histograms, testbed.cu:3056)")
     p.add_argument("--no_train", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fp16-images", action="store_true",
@@ -239,6 +242,15 @@ def main(argv=None):
             distributed.barrier("final-snapshot")
 
     tb.prepare_for_test()
+
+    if args.grid_stats and primary:
+        from neus2_tpu.utils.introspect import (
+            format_level_stats,
+            hashgrid_level_stats,
+        )
+
+        log("hashgrid level stats:\n"
+            + format_level_stats(hashgrid_level_stats(tb.state.params)))
 
     if not primary:
         # Replicated training is done; eval artifacts come from process 0.

@@ -148,3 +148,39 @@ def test_refine_vertices_projects_to_surface():
     s0, _ = sdf_fn(params, v0, cfg)
     s1, _ = sdf_fn(params, v1, cfg)
     assert float(jnp.abs(s1).mean()) < 0.2 * float(jnp.abs(s0).mean())
+
+
+def test_hashgrid_introspection():
+    """Per-level stats/histogram mirror the reference's gather_histograms
+    (testbed.cu:3056-3117): zero-cut moments and fixed-scale binning."""
+    import numpy as np
+
+    from neus2_tpu.models.field import FieldConfig, init_field
+    from neus2_tpu.utils.introspect import (
+        format_level_stats,
+        hashgrid_level_histogram,
+        hashgrid_level_stats,
+    )
+
+    cfg = FieldConfig()
+    params = init_field(jax.random.PRNGKey(0), cfg)
+    stats = hashgrid_level_stats(params)
+    assert len(stats) == cfg.grid.n_levels
+    for s in stats:
+        assert s["size"] == s["count"] + s["numzero"]
+        if s["count"]:
+            assert s["min"] <= s["mean"] <= s["max"]
+    # Init draws U(-1e-4, 1e-4) (reference grid.h init): most entries are
+    # below the 1e-5 zero cut only ~10% of the time -> count dominated.
+    assert stats[0]["count"] > 0
+
+    # Histogram: total mass == number of nonzero in-range entries; binning
+    # follows floor(v * 128/scale + 128.5).
+    h = hashgrid_level_histogram(params, level=0, histo_scale=1.0)
+    assert h.shape == (257,)
+    t0 = np.asarray(params["hashgrid"][0], np.float32).ravel()
+    assert h.sum() == np.count_nonzero(t0)  # tiny init weights all land mid-bin
+    assert h.argmax() == 128  # ~zero-centered init -> center bin
+
+    txt = format_level_stats(stats)
+    assert str(cfg.grid.n_levels - 1) in txt
