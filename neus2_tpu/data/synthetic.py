@@ -214,9 +214,18 @@ def make_csg_dataset(
     cam_distance: float = 1.35,
     fov_deg: float = 50.0,
     seed: int = 0,
+    sdf=None,
+    albedo=None,
 ) -> NerfDataset:
-    """Sphere-traced renders of the CSG scene through the training camera
-    model (held-out protocol: reserve trailing views for eval)."""
+    """Sphere-traced renders of an analytic scene through the training camera
+    model (held-out protocol: reserve trailing views for eval).
+
+    ``sdf``/``albedo``: scene functions over (..., 3) points (defaults: the
+    CSG scene).  See ``SCENES`` for the multi-scene sweep registry — the
+    stand-in for the reference's multi-scan DTU Chamfer sweep (BASELINE
+    tracked config 3)."""
+    sdf = sdf or csg_sdf
+    albedo = albedo or _csg_albedo
     rng = np.random.default_rng(seed)
     w = h = resolution
     focal = 0.5 * w / np.tan(0.5 * np.deg2rad(fov_deg))
@@ -251,7 +260,7 @@ def make_csg_dataset(
         alive = np.ones(dirs.shape[:-1], bool)
         for _ in range(192):
             pos = o + t[..., None] * dirs
-            d = csg_sdf(pos).astype(np.float32)
+            d = sdf(pos).astype(np.float32)
             t = np.where(alive, t + d, t)
             alive = alive & (d > 1e-4) & (t < 3.0)
             if not alive.any():
@@ -261,9 +270,9 @@ def make_csg_dataset(
         eps = 1e-4
         n_fd = np.stack(
             [
-                csg_sdf(pos + np.array([eps, 0, 0])) - csg_sdf(pos - np.array([eps, 0, 0])),
-                csg_sdf(pos + np.array([0, eps, 0])) - csg_sdf(pos - np.array([0, eps, 0])),
-                csg_sdf(pos + np.array([0, 0, eps])) - csg_sdf(pos - np.array([0, 0, eps])),
+                sdf(pos + np.array([eps, 0, 0])) - sdf(pos - np.array([eps, 0, 0])),
+                sdf(pos + np.array([0, eps, 0])) - sdf(pos - np.array([0, eps, 0])),
+                sdf(pos + np.array([0, 0, eps])) - sdf(pos - np.array([0, 0, eps])),
             ],
             axis=-1,
         )
@@ -271,7 +280,7 @@ def make_csg_dataset(
         light = np.array([0.4, 0.5, 0.77], np.float32)
         light = light / np.linalg.norm(light)
         lam = np.clip(np.sum(n_fd * light, axis=-1, keepdims=True), 0.0, 1.0)
-        rgb = np.clip(_csg_albedo(pos) * (0.3 + 0.7 * lam), 0.0, 1.0)
+        rgb = np.clip(albedo(pos) * (0.3 + 0.7 * lam), 0.0, 1.0)
         alpha = hit.astype(np.float32)[..., None]
         images.append(
             np.concatenate([rgb * alpha, alpha], axis=-1).astype(np.float32)
@@ -314,3 +323,92 @@ def make_moving_sphere_frames(
         )
         for k in range(n_frames)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Multi-scene sweep scenes (BASELINE tracked config 3 analog: the reference
+# protocol evaluates Chamfer across several DTU scans; with no DTU data in
+# this environment the sweep runs over analytic scenes with distinct
+# topology/pathologies instead).
+# ---------------------------------------------------------------------------
+
+
+def dumbbell_sdf(x: np.ndarray) -> np.ndarray:
+    """Two unequal spheres joined by a thin oblique capsule, plus a small
+    torus handle: disconnected-looking blobs + a thin neck (the classic
+    failure mode for a single-sphere geometric prior)."""
+    p = x - SPHERE_CENTER
+
+    a = np.array([-0.22, -0.05, -0.08], np.float32)  # big sphere center
+    b = np.array([0.24, 0.08, 0.10], np.float32)  # small sphere center
+    s1 = np.linalg.norm(p - a, axis=-1) - 0.17
+    s2 = np.linalg.norm(p - b, axis=-1) - 0.12
+
+    # Capsule from a to b, radius 0.035 (the thin neck).
+    ab = b - a
+    t = np.clip(
+        np.sum((p - a) * ab, axis=-1) / float(np.dot(ab, ab)), 0.0, 1.0
+    )
+    neck = np.linalg.norm(p - (a + t[..., None] * ab), axis=-1) - 0.035
+
+    # Torus handle on the big sphere (xz plane), thin curved feature.
+    pt = p - (a + np.array([0.0, 0.0, 0.20], np.float32))
+    ring = np.stack(
+        [np.linalg.norm(pt[..., [0, 2]], axis=-1) - 0.10, pt[..., 1]], axis=-1
+    )
+    handle = np.linalg.norm(ring, axis=-1) - 0.025
+
+    return np.minimum(np.minimum(np.minimum(s1, s2), neck), handle)
+
+
+def _dumbbell_albedo(p: np.ndarray) -> np.ndarray:
+    s = 0.5 + 0.5 * np.sin(55.0 * p[..., 0] + 31.0 * p[..., 1])
+    c = (np.floor(p[..., 1] * 30) + np.floor(p[..., 2] * 18)) % 2.0
+    r = 0.2 + 0.6 * s
+    g = 0.3 + 0.4 * (0.5 + 0.5 * np.sin(47.0 * p[..., 2]))
+    b = 0.25 + 0.5 * c
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+def bowl_sdf(x: np.ndarray) -> np.ndarray:
+    """An open hollow bowl (interior surfaces seen at grazing angles through
+    the opening) on a box pedestal: strong concavity + a thin shell."""
+    p = x - SPHERE_CENTER
+
+    # Hollow sphere shell (outer 0.26, thickness 0.035), opened above z=0.08.
+    r = np.linalg.norm(p, axis=-1)
+    shell = np.maximum(r - 0.26, -(r - 0.225))
+    bowl = np.maximum(shell, p[..., 2] - 0.08)
+
+    # Pedestal: squat rounded box under the bowl.
+    q = np.abs(p - np.array([0.0, 0.0, -0.30], np.float32)) - np.array(
+        [0.14, 0.14, 0.05], np.float32
+    )
+    ped = np.linalg.norm(np.maximum(q, 0.0), axis=-1) + np.minimum(
+        np.max(q, axis=-1), 0.0
+    ) - 0.01
+
+    # A small solid sphere resting inside the bowl (eval must reconstruct
+    # geometry visible only through the opening).
+    ball = np.linalg.norm(
+        p - np.array([0.05, -0.03, -0.16], np.float32), axis=-1
+    ) - 0.055
+
+    return np.minimum(np.minimum(bowl, ped), ball)
+
+
+def _bowl_albedo(p: np.ndarray) -> np.ndarray:
+    s = 0.5 + 0.5 * np.sin(36.0 * p[..., 0]) * np.sin(42.0 * p[..., 2])
+    c = (np.floor((p[..., 0] + p[..., 1]) * 20) + np.floor(p[..., 2] * 26)) % 2.0
+    r = 0.3 + 0.45 * c
+    g = 0.2 + 0.6 * s
+    b = 0.35 + 0.35 * (0.5 + 0.5 * np.sin(33.0 * p[..., 1]))
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+#: scene name -> (sdf, albedo): the multi-scene sweep registry.
+SCENES = {
+    "csg": (csg_sdf, _csg_albedo),
+    "dumbbell": (dumbbell_sdf, _dumbbell_albedo),
+    "bowl": (bowl_sdf, _bowl_albedo),
+}

@@ -184,3 +184,26 @@ def test_hashgrid_introspection():
 
     txt = format_level_stats(stats)
     assert str(cfg.grid.n_levels - 1) in txt
+
+
+def test_scene_registry_renders():
+    """Multi-scene sweep registry (BASELINE config-3 analog): every scene's
+    SDF has both signs in the box and its sphere-traced dataset has sane
+    foreground coverage."""
+    import numpy as np
+
+    from neus2_tpu.data.synthetic import SCENES, make_csg_dataset
+
+    assert set(SCENES) >= {"csg", "dumbbell", "bowl"}
+    pts = np.random.default_rng(0).uniform(0.2, 0.8, (20000, 3)).astype(
+        np.float32
+    )
+    for name, (sdf, albedo) in SCENES.items():
+        v = sdf(pts)
+        assert v.min() < -0.01 and v.max() > 0.01, name
+        ds = make_csg_dataset(n_views=2, resolution=32, sdf=sdf, albedo=albedo)
+        cov = float(ds.images[..., 3].mean())
+        assert 0.02 < cov < 0.7, (name, cov)
+        # Foreground pixels carry non-degenerate texture.
+        fg = ds.images[ds.images[..., 3] > 0][:, :3]
+        assert fg.std() > 0.05, name

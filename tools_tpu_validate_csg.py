@@ -32,7 +32,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from neus2_tpu.api.testbed import Hyperparams, Testbed
-from neus2_tpu.data.synthetic import csg_sdf, make_csg_dataset
+from neus2_tpu.data.synthetic import SCENES, csg_sdf, make_csg_dataset
 from neus2_tpu.engine.rays import Cameras
 from neus2_tpu.engine.train import TrainConfig
 from neus2_tpu.models.field import FieldConfig, sdf_fn
@@ -51,7 +51,13 @@ RES = int(os.environ.get("CSG_RES", "256"))
 # Reference default: error-map sampling OFF (testbed.h:636-637); opt in
 # with CSG_ERROR_MAP=1.
 USE_EMAP = os.environ.get("CSG_ERROR_MAP", "0") != "0"
+# CSG_SCENE: which analytic scene (SCENES registry) — the multi-scene
+# sweep is the BASELINE config-3 (multi-scan DTU Chamfer) analog.
+SCENE = os.environ.get("CSG_SCENE", "csg")
+SCENE_SDF, SCENE_ALBEDO = SCENES[SCENE]
 _tag = f"_{N_TRAIN}v_{RES}" if (N_TRAIN, RES) != (24, 256) else ""
+if SCENE != "csg":
+    _tag += f"_{SCENE}"
 if os.environ.get("CSG_CONFIG", ""):
     _tag += f"_{os.environ['CSG_CONFIG']}"
 SNAP = Path(f"/tmp/tpu_validate_csg{_tag}.msgpack")
@@ -63,24 +69,24 @@ def gt_surface_points(n: int, seed: int = 0) -> np.ndarray:
     candidates near the zero set and Newton-project along the FD normal."""
     rng = np.random.default_rng(seed)
     pts = rng.uniform(0.2, 0.8, size=(n * 40, 3)).astype(np.float32)
-    pts = pts[np.abs(csg_sdf(pts)) < 0.08][: n * 4]
+    pts = pts[np.abs(SCENE_SDF(pts)) < 0.08][: n * 4]
     eps = 1e-4
     for _ in range(12):
-        d = csg_sdf(pts)[..., None]
+        d = SCENE_SDF(pts)[..., None]
         g = np.stack(
             [
-                csg_sdf(pts + np.array([eps, 0, 0], np.float32))
-                - csg_sdf(pts - np.array([eps, 0, 0], np.float32)),
-                csg_sdf(pts + np.array([0, eps, 0], np.float32))
-                - csg_sdf(pts - np.array([0, eps, 0], np.float32)),
-                csg_sdf(pts + np.array([0, 0, eps], np.float32))
-                - csg_sdf(pts - np.array([0, 0, eps], np.float32)),
+                SCENE_SDF(pts + np.array([eps, 0, 0], np.float32))
+                - SCENE_SDF(pts - np.array([eps, 0, 0], np.float32)),
+                SCENE_SDF(pts + np.array([0, eps, 0], np.float32))
+                - SCENE_SDF(pts - np.array([0, eps, 0], np.float32)),
+                SCENE_SDF(pts + np.array([0, 0, eps], np.float32))
+                - SCENE_SDF(pts - np.array([0, 0, eps], np.float32)),
             ],
             axis=-1,
         ) / (2 * eps)
         g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
         pts = pts - d * g
-    pts = pts[np.abs(csg_sdf(pts)) < 1e-4]
+    pts = pts[np.abs(SCENE_SDF(pts)) < 1e-4]
     return pts[:n].astype(np.float32)
 
 
@@ -117,7 +123,8 @@ def main():
         mask_loss_weight=0.1,
         use_error_map=USE_EMAP,
     )
-    ds = make_csg_dataset(n_views=N_TRAIN + N_EVAL, resolution=RES)
+    ds = make_csg_dataset(n_views=N_TRAIN + N_EVAL, resolution=RES,
+                          sdf=SCENE_SDF, albedo=SCENE_ALBEDO)
     cams_all = ds.cameras()
     imgs_all = jnp.asarray(ds.images)
     train_ds = ds.subset(slice(0, N_TRAIN)) if hasattr(ds, "subset") else None
