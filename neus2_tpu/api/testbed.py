@@ -639,7 +639,7 @@ class Testbed:
         ``state.acc`` would therefore be misaligned with the frame's images
         by exactly the per-frame motion.  accumulate_delta composes the two
         maps identically to the train path (models/delta.py)."""
-        if self.use_delta and self.state is not None:
+        if self.use_delta:
             return delta_mod.accumulate_delta(self.state.acc, self.state.delta)
         return self.state.acc
 
@@ -731,8 +731,12 @@ class Testbed:
         return verts, tris
 
     def save_transform(self, path: str | Path):
-        """Export the accumulated R|t as text (testbed.cu:3118-3141)."""
-        acc = jax.device_get(self.state.acc)
+        """Export the accumulated R|t as text (testbed.cu:3118-3141).
+
+        Uses effective_acc so a live per-frame delta (the final frame's is
+        never folded — training_network_next_frame returns False there) is
+        included, matching what eval renders actually apply."""
+        acc = jax.device_get(self.effective_acc)
         with open(path, "w") as f:
             rot = np.asarray(acc["rotation"])
             tr = np.asarray(acc["transition"])
@@ -826,3 +830,35 @@ class Testbed:
         meta = payload.get("meta", {})
         self.training_step = int(meta.get("training_step", 0))
         self.current_training_time_frame = int(meta.get("frame", 0))
+        self._restore_phase_flags()
+
+    def _restore_phase_flags(self):
+        """Replay the dynamic-scene phase machine for a resumed snapshot.
+
+        The phase booleans (train_canonical / train_delta / use_delta) are
+        host state the snapshot's step counters fully determine — without the
+        replay, a resume into frame k >= 1 trains the canonical field against
+        images misaligned by the per-frame motion with no delta applied
+        (the reference reconstructs them the same way: load_snapshot restores
+        counters and train() re-derives the phase each step,
+        testbed.cu:2659-2667)."""
+        frame = self.current_training_time_frame
+        predict = bool(self.hyper.predict_global_movement)
+        if frame == 0:
+            self.train_canonical = True
+            self.train_delta = False
+            self.use_delta = False
+            return
+        in_refine = (
+            predict
+            and self.training_step < self.hyper.predict_global_movement_training_step
+        )
+        self.train_canonical = not in_refine
+        self.train_delta = predict and (
+            in_refine or bool(self.hyper.finetune_global_movement)
+        )
+        self.use_delta = predict
+        # Rendering/eval during frames >= 1 needs the frame's dataset, not
+        # the one load_training_data left in place.
+        if self.dataset is not None and self.is_dynamic:
+            self._load_frame(frame)

@@ -60,3 +60,18 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
     num = (2.0 * mu_ab + c1) * (2.0 * sigma_ab + c2)
     den = (mu_a2 + mu_b2 + c1) * (sigma_a2 + sigma_b2 + c2)
     return jnp.mean(num / den)
+
+
+def srgb_eval_target(tex: jnp.ndarray) -> jnp.ndarray:
+    """Premultiplied-linear RGBA texels -> the sRGB-on-black eval target.
+
+    The eval protocol (reference scripts/run.py:299-320) compares renders to
+    GT with linear->sRGB applied to the un-premultiplied color, then
+    re-premultiplied over a black background.  Every PSNR/SSIM call site must
+    use this one transform or metrics silently diverge."""
+    from neus2_tpu.ops.losses import linear_to_srgb
+
+    a = tex[..., 3:4]
+    return jnp.where(
+        a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a, 0.0
+    )

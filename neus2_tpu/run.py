@@ -236,6 +236,14 @@ def main(argv=None):
         log(f"training done: {step} steps in {time.time()-t0:.1f}s")
         if primary:
             tb.save_snapshot(out / "checkpoints" / "final.msgpack")
+            if tb.is_dynamic:
+                # The final frame's delta is never folded (next_frame returns
+                # False); save_transform exports effective_acc so the last
+                # frame's pose is on disk like every other frame's.
+                tb.save_transform(
+                    out / "checkpoints"
+                    / f"transform_{tb.current_training_time_frame}.txt"
+                )
         if args.multihost:
             from neus2_tpu.parallel import distributed
 
@@ -327,8 +335,8 @@ def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
     from neus2_tpu.data.dataset import load_dataset
     from neus2_tpu.engine.render import RenderConfig, render_image
     from neus2_tpu.ops.image import psnr as psnr_fn
+    from neus2_tpu.ops.image import srgb_eval_target
     from neus2_tpu.ops.image import ssim as ssim_fn
-    from neus2_tpu.ops.losses import linear_to_srgb
 
     ds = load_dataset(test_transforms)
     cams = ds.cameras()
@@ -353,13 +361,7 @@ def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
             background=0.0,
             spp=spp,
         )
-        tex = images[i]
-        a = tex[..., 3:4]
-        target = jnp.where(
-            a > 0,
-            linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a,
-            0.0,
-        )
+        target = srgb_eval_target(images[i])
         p = float(psnr_fn(rgb, target))
         s = float(ssim_fn(rgb, target))
         psnrs.append(p)
@@ -446,7 +448,7 @@ def _make_per_frame_eval(log):
 
     from neus2_tpu.engine.render import RenderConfig, render_image
     from neus2_tpu.ops.image import psnr as psnr_fn
-    from neus2_tpu.ops.losses import linear_to_srgb
+    from neus2_tpu.ops.image import srgb_eval_target
 
     def hook(tb, frame_idx):
         cfg = RenderConfig(
@@ -459,11 +461,7 @@ def _make_per_frame_eval(log):
             cams.poses[0], cams.focal[0], cams.principal[0],
             jax.random.PRNGKey(0), cfg, background=0.0, spp=1,
         )
-        tex = tb.images[0]
-        a = tex[..., 3:4]
-        target = jnp.where(
-            a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a, 0.0
-        )
+        target = srgb_eval_target(tb.images[0])
         log(f"frame {frame_idx} view-0 PSNR: {float(psnr_fn(rgb, target)):.2f} dB")
 
     return hook

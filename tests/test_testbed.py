@@ -341,3 +341,76 @@ def test_render_applies_live_delta(static_testbed):
     )
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_eff), atol=1e-5)
     assert float(jnp.abs(rgb_eff - rgb_raw).max()) > 1e-3
+
+
+def test_snapshot_resume_restores_dynamic_phase(tmp_path):
+    """load_snapshot replays the dynamic phase machine: a resume into
+    frame k >= 1 must restore train_delta/use_delta and the frame's dataset
+    (previously only hand-rolled in the validation tools; a plain
+    run.py --snapshot resume mistrained the canonical field without the
+    delta applied)."""
+    frames = make_moving_sphere_frames(
+        n_frames=2, translation_per_frame=(0.03, 0, 0), n_views=6,
+        resolution=32,
+    )
+    hyper = Hyperparams(
+        first_frame_max_training_step=12,
+        next_frame_max_training_step=10,
+        predict_global_movement=True,
+        predict_global_movement_training_step=6,
+        finetune_global_movement=True,
+    )
+    tb = Testbed(config=tiny_config(), hyper=hyper)
+    tb.load_training_data_from_datasets(frames)
+
+    # Into frame 1's refinement phase (local step 3 < boundary 6).
+    for _ in range(12 + 3):
+        assert tb.frame()
+    assert tb.current_training_time_frame == 1 and tb.training_step == 3
+    assert not tb.train_canonical and tb.train_delta and tb.use_delta
+    snap_refine = tmp_path / "refine.msgpack"
+    tb.save_snapshot(snap_refine)
+
+    # Past the boundary (canonical phase, finetune keeps the delta training).
+    for _ in range(5):
+        tb.frame()
+    assert tb.training_step == 8 and tb.train_canonical and tb.train_delta
+    snap_canon = tmp_path / "canon.msgpack"
+    tb.save_snapshot(snap_canon)
+
+    def fresh():
+        t = Testbed(
+            config=tiny_config(), hyper=hyper
+        )
+        t.load_training_data_from_datasets(frames)
+        return t
+
+    t1 = fresh()
+    t1.load_snapshot(snap_refine)
+    assert t1.current_training_time_frame == 1 and t1.training_step == 3
+    assert not t1.train_canonical and t1.train_delta and t1.use_delta
+    # Frame 1's dataset (not frame 0's, which load_training_data left active).
+    np.testing.assert_allclose(
+        np.asarray(t1.images), frames[1].images, atol=1e-6
+    )
+
+    t2 = fresh()
+    t2.load_snapshot(snap_canon)
+    assert t2.train_canonical and t2.train_delta and t2.use_delta
+    # And training continues from there without error.
+    t2.frame()
+    assert t2.training_step == 9
+
+    # Static/frame-0 snapshots resume into the canonical-only phase.
+    t3 = fresh()
+    tb0 = Testbed(
+        config=tiny_config(), hyper=hyper
+    )
+    tb0.load_training_data_from_datasets(frames)
+    for _ in range(3):
+        tb0.frame()
+    snap0 = tmp_path / "frame0.msgpack"
+    tb0.save_snapshot(snap0)
+    t3.load_snapshot(snap0)
+    assert t3.current_training_time_frame == 0
+    assert t3.train_canonical and not t3.train_delta and not t3.use_delta

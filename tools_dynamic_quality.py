@@ -37,16 +37,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 from neus2_tpu.api.testbed import Hyperparams, Testbed
 from neus2_tpu.data.synthetic import make_moving_sphere_frames
-from neus2_tpu.engine.rays import Cameras
 from neus2_tpu.engine.render import RenderConfig, render_image
 from neus2_tpu.engine.train import TrainConfig
 from neus2_tpu.models.field import FieldConfig
 from neus2_tpu.ops.hashgrid import HashGridConfig
-from neus2_tpu.ops.image import psnr as psnr_fn
-from neus2_tpu.ops.losses import linear_to_srgb
+from neus2_tpu.ops.image import psnr as psnr_fn, srgb_eval_target
 
 PREDICT = os.environ.get("DYN_PREDICT", "1") == "1"
 SUFFIX = "" if PREDICT else "_nopredict"
+if os.environ.get("DYN_TAG"):
+    SUFFIX += "_" + os.environ["DYN_TAG"]
 SNAP = Path(f"/tmp/dynamic_quality{SUFFIX}.msgpack")
 OUT = Path(f"/tmp/dynamic_quality{SUFFIX}.json")
 RESULTS = Path(f"/tmp/dynamic_quality{SUFFIX}_partial.json")
@@ -55,6 +55,9 @@ N_FRAMES = int(os.environ.get("DYN_FRAMES", "4"))
 N_VIEWS = int(os.environ.get("DYN_VIEWS", "12"))
 RES = int(os.environ.get("DYN_RES", "64"))
 BUDGET_S = float(os.environ.get("DYN_BUDGET_S", "3000"))
+NEXT_STEPS = int(os.environ.get("DYN_NEXT_STEPS", "300"))
+REFINE_STEPS = int(os.environ.get("DYN_REFINE_STEPS", "100"))
+DELTA_LR = float(os.environ.get("DYN_DELTA_LR", "5e-3"))
 SHIFT = (0.035, 0.0, 0.0)
 
 
@@ -73,11 +76,11 @@ def make_config() -> TrainConfig:
         n_candidates=96,
         ek_loss_weight=0.1,
         mask_loss_weight=0.1,
-        delta_lr=5e-3,
+        delta_lr=DELTA_LR,
     )
 
 
-def eval_frame(tb: Testbed, frame_idx: int, heldout_ds) -> float:
+def eval_frame(tb: Testbed, heldout_ds) -> float:
     """Held-out-view PSNR for the CURRENT frame, eval protocol of
     scripts/run.py:264-271 (black bg, sRGB) at spp 2."""
     cams = heldout_ds.cameras()
@@ -94,11 +97,7 @@ def eval_frame(tb: Testbed, frame_idx: int, heldout_ds) -> float:
         cams.poses[i], cams.focal[i], cams.principal[i],
         jax.random.PRNGKey(0), cfg, background=0.0, spp=2,
     )
-    tex = heldout_ds.images_device()[i]
-    a = tex[..., 3:4]
-    target = jnp.where(
-        a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a, 0.0
-    )
+    target = srgb_eval_target(heldout_ds.images_device()[i])
     return float(psnr_fn(rgb, target))
 
 
@@ -127,9 +126,9 @@ def main():
 
     hyper = Hyperparams(
         first_frame_max_training_step=800,
-        next_frame_max_training_step=300,
+        next_frame_max_training_step=NEXT_STEPS,
         predict_global_movement=PREDICT,
-        predict_global_movement_training_step=100,
+        predict_global_movement_training_step=REFINE_STEPS,
         # Shipped-config setting (base.json:127): the delta keeps refining
         # during the canonical phase, so residual pose error keeps shrinking.
         finetune_global_movement=True,
@@ -143,23 +142,16 @@ def main():
     if RESULTS.exists():
         results = json.loads(RESULTS.read_text())
     if SNAP.exists():
+        # load_snapshot replays the dynamic phase flags + frame dataset
+        # (Testbed._restore_phase_flags).
         tb.load_snapshot(SNAP)
-        if tb.current_training_time_frame > 0:
-            tb._load_frame(tb.current_training_time_frame)
-            boundary = hyper.predict_global_movement_training_step
-            in_refine = tb.training_step < boundary and PREDICT
-            tb.train_canonical = not in_refine
-            tb.train_delta = PREDICT and (
-                in_refine or hyper.finetune_global_movement
-            )
-            tb.use_delta = PREDICT and tb.current_training_time_frame > 0
         print(
             f"resumed frame {tb.current_training_time_frame} "
             f"step {tb.training_step}", flush=True,
         )
 
     def on_complete(tb_, k):
-        p = eval_frame(tb_, k, frames_full[k])
+        p = eval_frame(tb_, frames_full[k])
         # Pose error: learned composite translation vs GT object motion.
         # The canonical field models frame 0; frame k's samples are pulled
         # back by (acc o delta), so the recovered translation ~ -k * SHIFT.

@@ -32,13 +32,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from neus2_tpu.api.testbed import Hyperparams, Testbed
-from neus2_tpu.data.synthetic import SCENES, csg_sdf, make_csg_dataset
+from neus2_tpu.data.synthetic import SCENES, make_csg_dataset
 from neus2_tpu.engine.rays import Cameras
 from neus2_tpu.engine.train import TrainConfig
 from neus2_tpu.models.field import FieldConfig, sdf_fn
 from neus2_tpu.ops.hashgrid import HashGridConfig
-from neus2_tpu.ops.image import psnr, ssim
-from neus2_tpu.ops.losses import linear_to_srgb
+from neus2_tpu.ops.image import psnr, srgb_eval_target, ssim
 
 import os
 
@@ -183,11 +182,7 @@ def main():
             cams_all, cams_all.poses[k], cams_all.focal[k], cams_all.principal[k],
             jax.random.PRNGKey(k), rcfg, background=0.0, spp=8,
         )
-        tex = imgs_all[k]
-        a = tex[..., 3:4]
-        target = jnp.where(
-            a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a, 0.0
-        )
+        target = srgb_eval_target(imgs_all[k])
         p = float(psnr(jnp.asarray(rgb), target))
         s = float(ssim(jnp.asarray(rgb), target))
         psnrs.append(p)

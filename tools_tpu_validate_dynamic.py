@@ -47,15 +47,9 @@ def main():
     tb = Testbed(config=cfg, hyper=hyper)
     tb.load_training_data_from_datasets(frames)
     if SNAP.exists():
+        # load_snapshot replays phase flags + frame dataset
+        # (Testbed._restore_phase_flags).
         tb.load_snapshot(SNAP)
-        # Restore phase flags + dataset for the restored frame.
-        if tb.current_training_time_frame > 0:
-            tb._load_frame(tb.current_training_time_frame)
-            boundary = hyper.predict_global_movement_training_step
-            in_refine = tb.training_step < boundary
-            tb.train_canonical = not in_refine
-            tb.train_delta = in_refine and hyper.predict_global_movement
-            tb.use_delta = tb.train_delta
         print(
             f"resumed frame {tb.current_training_time_frame} "
             f"step {tb.training_step}",
