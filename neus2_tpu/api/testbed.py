@@ -128,9 +128,27 @@ def config_from_json(path: str | Path) -> tuple[TrainConfig, Hyperparams]:
     )
     loss_type = cfg.get("loss", {}).get("otype", "Huber")
     opt = cfg.get("optimizer", {})
+    # Walk the Ema(ExponentialDecay(Adam)) nesting: each wrapper level
+    # carries its own keys (reference create_optimizer, src/optimizer.cu).
+    ema_decay = 0.95
+    decay_start, decay_interval, decay_base = 20000, 10000, 0.33
     leaf = opt
-    while "nested" in leaf:
+    while True:
+        otype = str(leaf.get("otype", "")).lower()
+        if otype == "ema":
+            ema_decay = float(leaf.get("decay", ema_decay))
+        elif otype == "exponentialdecay":
+            decay_start = int(leaf.get("decay_start", decay_start))
+            decay_interval = int(leaf.get("decay_interval", decay_interval))
+            decay_base = float(leaf.get("decay_base", decay_base))
+        if "nested" not in leaf:
+            break
         leaf = leaf["nested"]
+    # Global-movement (delta) optimizer learning rate (base.json "globalmove").
+    gm_leaf = cfg.get("globalmove", {}).get("optimizer", {})
+    while "nested" in gm_leaf:
+        gm_leaf = gm_leaf["nested"]
+    delta_lr = float(gm_leaf.get("learning_rate", 1e-4))
     from neus2_tpu.utils.optim import OptimConfig
 
     train_cfg = TrainConfig(
@@ -158,11 +176,22 @@ def config_from_json(path: str | Path) -> tuple[TrainConfig, Hyperparams]:
             non_matrix_lr_factor=float(
                 leaf.get("non_matrix_learning_rate_factor", 1.0)
             ),
+            ema_decay=ema_decay,
+            decay_start=decay_start,
+            decay_interval=decay_interval,
+            decay_base=decay_base,
         ),
         rgb_loss_type=loss_type,
         ek_loss_weight=hyper.ek_loss_weight,
         mask_loss_weight=hyper.mask_loss_weight,
         anneal_end=hyper.anneal_end,
+        ema_decay=ema_decay,
+        delta_lr=delta_lr,
+        distortion_res=tuple(
+            int(v) for v in cfg.get("distortion_map", {}).get(
+                "resolution", (32, 32)
+            )
+        ),
     )
     return train_cfg, hyper
 
