@@ -64,6 +64,13 @@ class Hyperparams:
     incremental_reinit_sdf_mlp: bool = False
     incremental_reinit_sdf_mlp_iters: int = 10
     anneal_end: int = 0
+    # Constant-velocity motion prior (ours; not in the reference): start each
+    # new frame's delta at the previous frame's converged delta instead of
+    # identity.  For smoothly-moving scenes the pose-refinement phase then
+    # starts ~one frame-motion closer to the optimum, cutting accumulated
+    # drift.  The reference re-inits to identity every frame
+    # (training_network_next_frame, testbed.cu:2001-2080).
+    delta_motion_prior: bool = False
 
 
 def config_from_json(path: str | Path) -> tuple[TrainConfig, Hyperparams]:
@@ -583,10 +590,17 @@ class Testbed:
 
         state = self.state
         # Fold the converged per-frame delta into the accumulated transform
-        # (accumulate_global_movement, nerf_network.h:1163) and reset it.
+        # (accumulate_global_movement, nerf_network.h:1163) and reset it —
+        # to identity (reference), or to the previous frame's delta when the
+        # constant-velocity motion prior is on (see Hyperparams).
+        next_delta = (
+            jax.tree_util.tree_map(jnp.copy, state.delta)
+            if self.hyper.delta_motion_prior
+            else delta_mod.init_delta()
+        )
         state = state._replace(
             acc=delta_mod.accumulate_delta(state.acc, state.delta),
-            delta=delta_mod.init_delta(),
+            delta=next_delta,
         )
         if self.config.field.residual_grid:
             # DynamicGrid: freeze this frame's grid into the base, train a

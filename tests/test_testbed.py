@@ -414,3 +414,63 @@ def test_snapshot_resume_restores_dynamic_phase(tmp_path):
     t3.load_snapshot(snap0)
     assert t3.current_training_time_frame == 0
     assert t3.train_canonical and not t3.train_delta and not t3.use_delta
+
+
+def test_delta_motion_prior_carries_previous_delta():
+    """With Hyperparams.delta_motion_prior (ours — the reference re-inits to
+    identity each frame), the new frame's delta starts at the previous
+    frame's converged value: for constant-velocity scenes refinement starts
+    ~one frame-motion closer to the optimum."""
+    from neus2_tpu.models import delta as delta_mod
+
+    frames = make_moving_sphere_frames(
+        n_frames=3, translation_per_frame=(0.03, 0, 0), n_views=6,
+        resolution=32,
+    )
+    hyper = Hyperparams(
+        first_frame_max_training_step=4,
+        next_frame_max_training_step=3,
+        predict_global_movement=True,
+        predict_global_movement_training_step=2,
+        delta_motion_prior=True,
+    )
+    tb = Testbed(config=tiny_config(), hyper=hyper)
+    tb.load_training_data_from_datasets(frames)
+    for _ in range(4):
+        tb.frame()
+    # Manufacture a converged frame-1 delta, then trigger the switch to
+    # frame 2 and check it carries over (while the fold still happened).
+    fake = {
+        "rotation6d": jnp.asarray(delta_mod.init_delta()["rotation6d"]),
+        "transition": jnp.asarray([-0.03, 0.0, 0.0], jnp.float32),
+    }
+    tb.current_training_time_frame = 1
+    tb.state = tb.state._replace(delta=fake)
+    acc_before = jax.device_get(tb.state.acc)
+    assert tb.training_network_next_frame()
+    assert tb.current_training_time_frame == 2
+    d = jax.device_get(tb.state.delta)
+    np.testing.assert_allclose(d["transition"], [-0.03, 0.0, 0.0], atol=1e-7)
+    acc_after = jax.device_get(tb.state.acc)
+    # The fold into acc still happened (translation moved by the delta).
+    assert abs(
+        (acc_after["transition"][0] - acc_before["transition"][0]) + 0.03
+    ) < 1e-6
+
+    # Default (reference parity): delta resets to identity.
+    tb2 = Testbed(
+        config=tiny_config(),
+        hyper=Hyperparams(
+            first_frame_max_training_step=4,
+            next_frame_max_training_step=3,
+            predict_global_movement=True,
+            predict_global_movement_training_step=2,
+        ),
+    )
+    tb2.load_training_data_from_datasets(frames)
+    for _ in range(4):
+        tb2.frame()
+    tb2.state = tb2.state._replace(delta=fake)
+    assert tb2.training_network_next_frame()
+    d2 = jax.device_get(tb2.state.delta)
+    np.testing.assert_allclose(d2["transition"], [0.0, 0.0, 0.0], atol=1e-7)

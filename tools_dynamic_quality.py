@@ -58,6 +58,7 @@ BUDGET_S = float(os.environ.get("DYN_BUDGET_S", "3000"))
 NEXT_STEPS = int(os.environ.get("DYN_NEXT_STEPS", "300"))
 REFINE_STEPS = int(os.environ.get("DYN_REFINE_STEPS", "100"))
 DELTA_LR = float(os.environ.get("DYN_DELTA_LR", "5e-3"))
+MOTION_PRIOR = os.environ.get("DYN_MOTION_PRIOR", "0") == "1"
 SHIFT = (0.035, 0.0, 0.0)
 
 
@@ -132,13 +133,15 @@ def main():
         # Shipped-config setting (base.json:127): the delta keeps refining
         # during the canonical phase, so residual pose error keeps shrinking.
         finetune_global_movement=True,
+        delta_motion_prior=MOTION_PRIOR,
         mask_loss_weight=0.1,
         ek_loss_weight=0.1,
     )
     tb = Testbed(config=make_config(), hyper=hyper)
     tb.load_training_data_from_datasets(train_frames)
 
-    results = {"per_frame_psnr": [], "pose_err": [], "predict": PREDICT}
+    results = {"per_frame_psnr": [], "pose_err": [], "predict": PREDICT,
+           "motion_prior": MOTION_PRIOR}
     if RESULTS.exists():
         results = json.loads(RESULTS.read_text())
     if SNAP.exists():
