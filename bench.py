@@ -249,6 +249,69 @@ def bench_scaling(n_devices, n_iters=10, zero1=False, variant="parity"):
     return results
 
 
+def bench_render(n_iters=3, warm_steps=64, variant="parity", res=512):
+    """Inference path: full-image render throughput (pixels/s) at a
+    converged operating point (the serving-side metric; the reference's
+    analog is its interactive tracer, testbed_nerf.cu:2479).
+
+    Trains briefly + sets the converged variance + re-sweeps occupancy
+    (same construction as the converged train regime), then times
+    render_image at res^2, spp 1, hit-ray compaction on."""
+    import jax.numpy as jnp
+
+    from neus2_tpu.engine import occupancy as occ_mod
+    from neus2_tpu.engine.render import RenderConfig, render_image
+    from neus2_tpu.engine.train import occupancy_update, train_step
+
+    config = flagship_config(variant)
+    _note("setup (dataset + prior sweep)")
+    state, images, cameras = _setup(config)
+    _note(f"warm {warm_steps} steps")
+    state, aux = train_step(state, images, cameras, config)
+    _ = float(aux.loss)
+    for i in range(warm_steps):
+        if i % 4 == 0:
+            state = occupancy_update(state, config)
+        state, aux = train_step(state, images, cameras, config)
+    state = state._replace(
+        params={
+            **state.params,
+            "variance": jnp.full_like(state.params["variance"], 0.75),
+        },
+        occupancy=occ_mod.reset_density(state.occupancy),
+    )
+    _note("converged occupancy re-sweep")
+    for _ in range(80):
+        state = occupancy_update(state, config)
+
+    rcfg = RenderConfig(
+        field=config.field, samples_per_ray=32, n_candidates=128,
+        chunk=1 << 13,
+    )
+    from neus2_tpu.models.delta import init_accumulated
+
+    acc = init_accumulated()
+    pose, focal, principal = cameras.poses[0], cameras.focal[0], cameras.principal[0]
+    _note(f"compile render {res}x{res}")
+    rgb, _, _ = render_image(
+        state.ema_params, acc, state.occupancy, cameras, pose, focal,
+        principal, jax.random.PRNGKey(0), rcfg, background=0.0, spp=1,
+        resolution=(res, res),
+    )
+    _ = float(jnp.asarray(rgb).sum())
+    _note("timing render")
+    t0 = time.perf_counter()
+    for k in range(n_iters):
+        rgb, _, _ = render_image(
+            state.ema_params, acc, state.occupancy, cameras, pose, focal,
+            principal, jax.random.PRNGKey(k + 1), rcfg, background=0.0,
+            spp=1, resolution=(res, res),
+        )
+        _ = float(jnp.asarray(rgb).sum())
+    dt = time.perf_counter() - t0
+    return res * res * n_iters / dt
+
+
 def _probe_backend(timeout_s=180):
     """Fail fast (with a JSON line) if the TPU backend can't initialize.
 
@@ -291,12 +354,31 @@ def main():
     p.add_argument("--zero1", action="store_true",
                    help="scaling mode: shard table grads + optimizer state")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--render", action="store_true",
+                   help="render-path bench: full-image pixels/s at a "
+                        "converged operating point (not the headline)")
     p.add_argument("--config", default="parity",
                    choices=("parity", "tpu_opt", "l4f8"),
                    help="network variant (headline stays parity)")
     args = p.parse_args()
 
     _probe_backend()
+
+    if args.render:
+        px_per_s = bench_render(variant=args.config)
+        print(json.dumps({
+            "metric": (
+                "render_pixels_per_s"
+                if args.config == "parity"
+                else f"render_pixels_per_s_{args.config}"
+            ),
+            "value": round(px_per_s, 1),
+            "unit": "pixels/s",
+            # No reference render baseline exists (BASELINE.md); report raw.
+            "vs_baseline": 0.0,
+            "config": args.config,
+        }))
+        return
 
     if args.devices > 1:
         res = bench_scaling(
