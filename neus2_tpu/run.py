@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--ref_mesh", default=None,
                    help="reference mesh (.obj) for Chamfer-distance eval")
     p.add_argument("--eval_spp", type=int, default=8)
+    p.add_argument("--save_eval_images", action="store_true",
+                   help="write each eval view's render and |render-GT| "
+                        "difference as PNGs (reference cal_psnr writes "
+                        "side-by-side images, scripts/render_utils.py)")
     p.add_argument("--render_path", default=None,
                    help="render a PNG frame sequence along a camera path: "
                         "a CameraPath json, or 'orbit' for an auto orbit")
@@ -311,7 +315,10 @@ def main(argv=None):
         )
 
     if args.test_transforms:
-        psnrs, ssims = evaluate(tb, args.test_transforms, args.eval_spp, log)
+        psnrs, ssims = evaluate(
+            tb, args.test_transforms, args.eval_spp, log,
+            save_dir=(out / "evaluation") if args.save_eval_images else None,
+        )
         metrics = {
             "psnr_mean": float(np.mean(psnrs)),
             "ssim_mean": float(np.mean(ssims)),
@@ -326,7 +333,9 @@ def main(argv=None):
     return tb
 
 
-def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
+def evaluate(
+    tb, test_transforms: str, spp: int, log, save_dir=None
+) -> tuple[list, list]:
     """PSNR/SSIM on held-out views (reference run.py:251-344 protocol:
     black background, spp=8, min transmittance 1e-4, sRGB space)."""
     import jax
@@ -367,6 +376,18 @@ def evaluate(tb, test_transforms: str, spp: int, log) -> tuple[list, list]:
         psnrs.append(p)
         ssims.append(s)
         log(f"  view {i}: PSNR {p:.2f}  SSIM {s:.4f}")
+        if save_dir is not None:
+            # Render / GT / |diff| panels (reference cal_psnr image dumps).
+            import imageio.v2 as imageio
+
+            save_dir.mkdir(parents=True, exist_ok=True)
+            r8 = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+            t8 = (np.clip(np.asarray(target), 0, 1) * 255).astype(np.uint8)
+            d8 = (np.clip(
+                np.abs(np.asarray(rgb) - np.asarray(target)) * 4, 0, 1
+            ) * 255).astype(np.uint8)
+            imageio.imwrite(save_dir / f"view_{i:03d}.png",
+                            np.concatenate([r8, t8, d8], axis=1))
     return psnrs, ssims
 
 
