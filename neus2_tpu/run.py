@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="output")
     p.add_argument("--n_steps", type=int, default=None,
                    help="override first_frame_max_training_step")
+    p.add_argument("--next_frame_steps", type=int, default=None,
+                   help="dynamic scenes: override next_frame_max_training_step "
+                        "(reference run_dynamic.py per-frame step budget)")
     p.add_argument("--snapshot", default=None, help="load snapshot before training")
     p.add_argument("--save_snapshot_every", type=int, default=0)
     p.add_argument("--save_mesh", action="store_true")
@@ -159,6 +162,8 @@ def main(argv=None):
         config = dataclasses.replace(config, **changes)
     if args.n_steps:
         hyper.first_frame_max_training_step = args.n_steps
+    if args.next_frame_steps:
+        hyper.next_frame_max_training_step = args.next_frame_steps
 
     import jax.numpy as jnp
 
@@ -194,6 +199,7 @@ def main(argv=None):
         from torch.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(log_dir=str(out / "logs"))
+    frame_writers = {}
 
     if args.eval_per_frame:
         from neus2_tpu.run import _make_per_frame_eval
@@ -231,6 +237,17 @@ def main(argv=None):
                     writer.add_scalar("loss/rgb", tb.loss_scalar, step)
                     writer.add_scalar("loss/ek", tb.ek_loss_scalar, step)
                     writer.add_scalar("loss/mask", tb.mask_loss_scalar, step)
+                    if tb.is_dynamic:
+                        # Per-frame writer alongside the global one
+                        # (reference run_dynamic.py:296-305 logs both).
+                        k = tb.current_training_time_frame
+                        if frame_writers.get(k) is None:
+                            frame_writers[k] = SummaryWriter(
+                                log_dir=str(out / "logs" / f"frame_{k}")
+                            )
+                        frame_writers[k].add_scalar(
+                            "loss/rgb", tb.loss_scalar, tb.training_step
+                        )
             if (
                 primary
                 and args.save_snapshot_every
@@ -330,6 +347,8 @@ def main(argv=None):
 
     if writer:
         writer.close()
+    for w in frame_writers.values():
+        w.close()
     return tb
 
 
