@@ -54,6 +54,15 @@ def parse_args(argv=None):
     p.add_argument("--ref_mesh", default=None,
                    help="reference mesh (.obj) for Chamfer-distance eval")
     p.add_argument("--eval_spp", type=int, default=8)
+    p.add_argument("--screenshot_transforms", default=None,
+                   help="render the views of this transforms json to PNGs "
+                        "(reference run.py --screenshot_transforms)")
+    p.add_argument("--screenshot_dir", default=None,
+                   help="output dir for --screenshot_transforms (default "
+                        "output/<name>/screenshots)")
+    p.add_argument("--screenshot_spp", type=int, default=16)
+    p.add_argument("--screenshot_frames", nargs="*", type=int, default=None,
+                   help="subset of view indices to render")
     p.add_argument("--save_eval_images", action="store_true",
                    help="write each eval view's render and |render-GT| "
                         "difference as PNGs (reference cal_psnr writes "
@@ -331,6 +340,13 @@ def main(argv=None):
             out / "frames", args.eval_spp, log,
         )
 
+    if args.screenshot_transforms:
+        shot_dir = Path(args.screenshot_dir) if args.screenshot_dir else (
+            out / "screenshots"
+        )
+        screenshot(tb, args.screenshot_transforms, shot_dir,
+                   args.screenshot_spp, args.screenshot_frames, log)
+
     if args.test_transforms:
         psnrs, ssims = evaluate(
             tb, args.test_transforms, args.eval_spp, log,
@@ -350,6 +366,36 @@ def main(argv=None):
     for w in frame_writers.values():
         w.close()
     return tb
+
+
+def screenshot(tb, transforms: str, out_dir, spp: int, frames, log):
+    """Render the views of a transforms json to PNGs (reference run.py
+    screenshot mode, scripts/run.py:46-49, 345-377)."""
+    import imageio.v2 as imageio
+    import jax
+
+    from neus2_tpu.data.dataset import load_dataset
+    from neus2_tpu.engine.render import RenderConfig, render_image
+
+    ds = load_dataset(transforms)
+    cams = ds.cameras()
+    cfg = RenderConfig(
+        field=tb.config.field, aabb_scale=tb.config.aabb_scale,
+        min_transmittance=1e-4,
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    idxs = frames if frames else range(ds.n_images)
+    for i in idxs:
+        rgb, _, _ = render_image(
+            tb.state.ema_params, tb.effective_acc, tb.state.occupancy, cams,
+            cams.poses[i], cams.focal[i], cams.principal[i],
+            jax.random.PRNGKey(i), cfg, background=0.0, spp=spp,
+        )
+        fp = out_dir / f"{i:04d}.png"
+        imageio.imwrite(
+            fp, (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+        )
+        log(f"  screenshot {fp}")
 
 
 def evaluate(
