@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--snapshot", default=None, help="load snapshot before training")
     p.add_argument("--save_snapshot_every", type=int, default=0)
     p.add_argument("--save_mesh", action="store_true")
+    p.add_argument("--dynamic_save_mesh", action="store_true",
+                   help="dynamic scenes: export a canonical-space mesh when "
+                        "each frame finishes (reference run_dynamic.py "
+                        "--dynamic_save_mesh)")
     p.add_argument("--mesh_resolution", type=int, default=256)
     p.add_argument("--save_density_png", action="store_true",
                    help="save a Z-slice mosaic PNG of the SDF grid "
@@ -235,6 +239,13 @@ def main(argv=None):
                     tb.save_transform(
                         out / "checkpoints" / f"transform_{last_frame - 1}.txt"
                     )
+                    if args.dynamic_save_mesh:
+                        mp = (out / "mesh"
+                              / f"frame_{last_frame - 1:04d}.obj")
+                        tb.compute_and_save_marching_cubes_mesh(
+                            mp, resolution=args.mesh_resolution
+                        )
+                        log(f"  per-frame mesh -> {mp}")
             if step % 100 == 0:
                 log(
                     f"step {step} (frame {tb.current_training_time_frame} "
