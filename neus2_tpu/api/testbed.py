@@ -722,7 +722,7 @@ class Testbed:
     def compute_and_save_marching_cubes_mesh(
         self, path: str | Path, resolution: int = 256, thresh: float = 0.0,
         with_colors: bool = True, keep_largest_component: bool = False,
-        with_normals: bool = True,
+        with_normals: bool = True, aabb=None,
     ):
         """Reference python_api surface (python_api.cu:382; SURVEY §3.5).
 
@@ -738,7 +738,17 @@ class Testbed:
         )
         from neus2_tpu.ops.warp import scene_aabb
 
-        aabb = scene_aabb(self.config.aabb_scale)
+        # ``aabb``: optional crop box ((lo3), (hi3)) in warped coordinates —
+        # the pyngp surface takes a BoundingBox arg (python_api.cu:382;
+        # run_dynamic.py passes bbox_min/bbox_max to crop per-frame meshes).
+        if aabb is None:
+            aabb = scene_aabb(self.config.aabb_scale)
+        elif not hasattr(aabb, "lo"):
+            from neus2_tpu.ops.warp import AABB
+
+            lo, hi = aabb
+            aabb = AABB(jnp.asarray(lo, jnp.float32),
+                        jnp.asarray(hi, jnp.float32))
         verts, tris = extract_mesh(
             self.state.ema_params,
             self.config.field,
