@@ -1,16 +1,20 @@
-"""Probe: can Mosaic's tpu.dynamic_gather beat XLA's narrow-row HBM gather?
+"""Probe: does Mosaic's tpu.dynamic_gather beat XLA's narrow-row HBM gather?
 
-jax 0.9 Pallas lowers jnp.take_along_axis (x: (A, B), idx: (A, B), axis 0/1)
-to tpu.dynamic_gather (jax/_src/pallas/mosaic/lowering.py:2465-2525).  If a
-hash-table level (2^19 rows x F) can live in VMEM and be gathered along
-sublanes at vector rate, the forward hashed-level gathers (~100 ms of the
-337 ms flagship step, PERF.md) could collapse.  Open questions only hardware
-can answer: does the lowering accept A=512k (multi-tile cross-sublane
-gather), and at what rate does it execute?
+Lowering contract (discovered via cross-platform lowering on CPU — see
+jax/_src/pallas/mosaic/lowering.py _gather_lowering_rule): take_along_axis
+inside a Pallas kernel lowers to tpu.dynamic_gather ONLY when the index
+array has the SAME shape as the 2-D operand — one call gathers exactly T
+rows of a (T, F) table.  Arbitrary-M gathers therefore run as ceil(M/T)
+grid steps with the table resident in VMEM; that production kernel is
+ops/dyngather.py (semantics + lowering regression-tested in
+tests/test_dyngather.py).  What only hardware can answer: does Mosaic
+COMPILE the big shapes (lowering is necessary, not sufficient), and at what
+per-row rate does the gather execute vs XLA's ~6 ns/row.
 
 Run modes (one compile per process — tunnel discipline):
-  python tools_probe_dyngather.py lower   # just compile-check tiny + big
-  python tools_probe_dyngather.py time    # time in-kernel gather vs XLA
+  python tools_probe_dyngather.py lower   # compile-check on device
+  python tools_probe_dyngather.py time    # time raw M==T calls
+  python tools_probe_dyngather.py prod    # time ops/dyngather.py + XLA ref
 
 This is a measurement tool, not product code.
 """
@@ -47,105 +51,71 @@ def make_fn(rows, cols, m):
     return f
 
 
+def bench(run, payload_rows, warm=1, iters=10):
+    for _ in range(warm):
+        out = run()
+    _ = float(out.sum())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    _ = float(out.sum())
+    dt = (time.perf_counter() - t0) / iters
+    return dt, dt / payload_rows * 1e9
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "lower"
     key = jax.random.PRNGKey(0)
 
-    # (rows, cols, m): table rows, lane width, queries. idx must be (m, cols)
-    # with per-lane row indices — our use would broadcast one row index
-    # across the F features if F were the lane dim; start with the raw
-    # primitive shape to learn the constraints.
+    if mode == "prod":
+        # Production path (ops/dyngather.py): flagship hashed level, bf16
+        # table, M = 8 corners x 262,144 samples = 4 x T grid steps —
+        # versus the jnp.take XLA baseline at identical shapes.
+        from neus2_tpu.ops.dyngather import dyngather_rows
+
+        T, F, M = 1 << 19, 2, 1 << 21
+        table = jax.random.normal(key, (T, F), jnp.float32).astype(jnp.bfloat16)
+        idx = jax.random.randint(key, (M,), 0, T, jnp.int32)
+
+        xla = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+        try:
+            dt, nsrow = bench(lambda: dyngather_rows(table, idx), M)
+            print(f"dyngather_rows T={T} F={F} M={M}: {dt*1e3:.3f} ms "
+                  f"({nsrow:.2f} ns/row)", flush=True)
+        except Exception as e:
+            print(f"dyngather_rows: FAIL {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+        dt, nsrow = bench(lambda: xla(table, idx), M)
+        print(f"XLA jnp.take   T={T} F={F} M={M}: {dt*1e3:.3f} ms "
+              f"({nsrow:.2f} ns/row)", flush=True)
+        return
+
+    # Raw M==T calls at increasing scale (the only shapes the lowering
+    # accepts; anything with m != rows fails the indices-shape assert).
     cases = [
-        (8, 128, 8),          # single tile — should definitely lower
-        (512, 128, 512),      # multi-tile operand
-        (4096, 128, 4096),    # 2 MB fp32 table in VMEM
-        # Realistic hash-encoder shapes: a level is (T, F) with F << 128.
-        # Broadcast one row index across the narrow lane dim; these probe
-        # whether Mosaic accepts sub-128 lane widths for dynamic_gather.
-        (1 << 15, 8, 1 << 15),   # l4f8 row width
-        (1 << 17, 2, 1 << 17),   # parity L14/F2 row width, 512k-row table
-        (1 << 17, 128, 1 << 15), # wide fallback: 64 F=2 rows packed per row
+        (512, 128, 512),
+        (4096, 128, 4096),
+        (1 << 15, 8, 1 << 15),    # l4f8 row width
+        (1 << 17, 2, 1 << 17),    # narrow F=2 rows, 128k-row table
+        (1 << 19, 2, 1 << 19),    # flagship hashed-level table (4 MB fp32)
     ]
     for rows, cols, m in cases:
         table = jax.random.normal(key, (rows, cols), jnp.float32)
         idx = jax.random.randint(key, (m, cols), 0, rows, jnp.int32)
         try:
             f = make_fn(rows, cols, m)
-            lowered = f.lower(table, idx).compile()
+            f.lower(table, idx).compile()
             if mode == "time":
-                out = f(table, idx)
-                _ = float(out.sum())
-                t0 = time.perf_counter()
-                for _ in range(10):
-                    out = f(table, idx)
-                _ = float(out.sum())
-                dt = (time.perf_counter() - t0) / 10
+                dt, nsrow = bench(lambda: f(table, idx), m)
                 rate = m * cols / dt / 1e9
-                rowrate = dt / m * 1e9
                 print(f"rows={rows}x{cols} m={m}: {dt*1e3:.3f} ms "
-                      f"({rate:.2f} G elems/s, {rowrate:.2f} ns/row; "
+                      f"({rate:.2f} G elems/s, {nsrow:.2f} ns/row; "
                       f"XLA floor ~6 ns/row)", flush=True)
             else:
                 print(f"rows={rows}x{cols} m={m}: lowers OK", flush=True)
         except Exception as e:
             print(f"rows={rows}x{cols} m={m}: FAIL {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
-
-    # The actual encoder inner loop: 8 corner gathers + weighted reduce for
-    # one hashed level, table resident in VMEM.  If this lowers and beats
-    # ~6 ns/row x 8 corners, it replaces the XLA gather path in
-    # ops/hashgrid_fast.py for hashed levels.
-    if mode in ("lower", "time"):
-        T, F, M = 1 << 17, 2, 1 << 15
-        table = jax.random.normal(key, (T, F), jnp.float32)
-        cidx = jax.random.randint(key, (M, 8), 0, T, jnp.int32)
-        w = jax.random.uniform(jax.random.PRNGKey(1), (M, 8), jnp.float32)
-
-        def corner_kernel(table_ref, idx_ref, w_ref, out_ref):
-            acc = jnp.zeros((idx_ref.shape[0], table_ref.shape[1]),
-                            jnp.float32)
-            for c in range(8):
-                rows_c = idx_ref[:, c][:, None]
-                g = jnp.take_along_axis(
-                    table_ref[:],
-                    jnp.broadcast_to(
-                        rows_c, (idx_ref.shape[0], table_ref.shape[1])
-                    ),
-                    axis=0,
-                )
-                acc = acc + w_ref[:, c][:, None] * g
-            out_ref[:] = acc
-
-        @jax.jit
-        def enc(table, cidx, w):
-            return pl.pallas_call(
-                corner_kernel,
-                out_shape=jax.ShapeDtypeStruct((M, F), jnp.float32),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            )(table, cidx, w)
-
-        try:
-            enc.lower(table, cidx, w).compile()
-            if mode == "time":
-                out = enc(table, cidx, w)
-                _ = float(out.sum())
-                t0 = time.perf_counter()
-                for _ in range(10):
-                    out = enc(table, cidx, w)
-                _ = float(out.sum())
-                dt = (time.perf_counter() - t0) / 10
-                print(f"corner-encode M={M}: {dt*1e3:.3f} ms "
-                      f"({dt/(8*M)*1e9:.2f} ns/corner-row)", flush=True)
-            else:
-                print("corner-encode: lowers OK", flush=True)
-        except Exception as e:
-            print(f"corner-encode: FAIL {type(e).__name__}: {str(e)[:200]}",
-                  flush=True)
 
 
 if __name__ == "__main__":
