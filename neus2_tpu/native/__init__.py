@@ -32,8 +32,11 @@ def lib() -> ctypes.CDLL:
     if _lib is None:
         _lib = ctypes.CDLL(str(_ensure_built()))
         # A stale .so from an older checkout may predate newer entry points
-        # (e.g. the image loader's il_*); rebuild once if any is missing.
-        if not hasattr(_lib, "il_load_batch"):
+        # (e.g. the image loader's il_* or raster_mesh); rebuild once if
+        # any is missing.
+        if not hasattr(_lib, "il_load_batch") or not hasattr(
+            _lib, "raster_mesh"
+        ):
             _lib = None
             _SO.unlink()
             _lib = ctypes.CDLL(str(_ensure_built()))
@@ -68,6 +71,15 @@ def lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ]
         _lib.il_free.argtypes = [ctypes.c_void_p]
+        _lib.raster_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
     return _lib
 
 
@@ -100,6 +112,51 @@ def decode_images(paths, n_threads: int = 0) -> list:
     finally:
         l.il_free(h)
     return out
+
+
+def render_mesh_image(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    pose_c2w: np.ndarray,
+    focal: tuple[float, float],
+    principal: tuple[float, float],
+    resolution: tuple[int, int],
+    shaded: bool = False,
+    light_dir: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rasterize a mesh from a camera: the reference's eval-time mesh
+    visualization (scripts/render_utils.py:418-421 render_mesh /
+    scripts/run.py:68 --shaded_mesh), as a native z-buffer rasterizer.
+
+    pose_c2w: (3, 4) ngp camera-to-world; focal (fx, fy) pixels; principal
+    (cx, cy) in [0,1] of resolution (W, H).  Returns (rgb (H, W, 3) float32
+    — normal map by default, Lambertian grey when shaded — and depth
+    (H, W); background = 0).
+    """
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    pose = np.asarray(pose_c2w, np.float32).reshape(3, 4)
+    R, t = pose[:, :3], pose[:, 3]
+    w2c = np.concatenate([R.T, (-R.T @ t)[:, None]], axis=1)
+    w2c = np.ascontiguousarray(w2c, np.float32)
+    W, H = int(resolution[0]), int(resolution[1])
+    rgb = np.zeros((H, W, 3), np.float32)
+    depth = np.zeros((H, W), np.float32)
+    light = None
+    if light_dir is not None:
+        light = np.ascontiguousarray(light_dir, np.float32)
+    fptr = ctypes.POINTER(ctypes.c_float)
+    lib().raster_mesh(
+        verts.ctypes.data_as(fptr), verts.shape[0],
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), faces.shape[0],
+        w2c.ctypes.data_as(fptr),
+        float(focal[0]), float(focal[1]),
+        float(principal[0]) * W, float(principal[1]) * H,
+        W, H, int(bool(shaded)),
+        light.ctypes.data_as(fptr) if light is not None else None,
+        rgb.ctypes.data_as(fptr), depth.ctypes.data_as(fptr),
+    )
+    return rgb, depth
 
 
 def marching_cubes(grid: np.ndarray, thresh: float = 0.0) -> tuple[np.ndarray, np.ndarray]:

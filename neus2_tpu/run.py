@@ -67,6 +67,12 @@ def parse_args(argv=None):
     p.add_argument("--screenshot_spp", type=int, default=16)
     p.add_argument("--screenshot_frames", nargs="*", type=int, default=None,
                    help="subset of view indices to render")
+    p.add_argument("--shaded_mesh", action="store_true",
+                   help="with --save_eval_images: also rasterize the "
+                        "extracted mesh per eval view, Lambertian-shaded "
+                        "(reference run.py --shaded_mesh / render_utils "
+                        "render_mesh); with --save_mesh alone a normal-map "
+                        "render is written instead")
     p.add_argument("--save_eval_images", action="store_true",
                    help="write each eval view's render and |render-GT| "
                         "difference as PNGs (reference cal_psnr writes "
@@ -79,6 +85,10 @@ def parse_args(argv=None):
     p.add_argument("--samples_per_ray", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MLP compute (fp32 accumulation + master params)")
+    p.add_argument("--near_distance", type=float, default=None,
+                   help="training rays start this far from the camera "
+                        "(reference run.py --near_distance; <0/unset = "
+                        "config default)")
     p.add_argument("--depth_supervision_lambda", type=float, default=None,
                    help="L2 depth-supervision weight; depth maps load from "
                         "per-frame depth_path + integer_depth_scale")
@@ -165,6 +175,8 @@ def main(argv=None):
         changes["samples_per_ray"] = args.samples_per_ray
     if args.depth_supervision_lambda is not None:
         changes["depth_supervision_lambda"] = args.depth_supervision_lambda
+    if args.near_distance is not None and args.near_distance >= 0:
+        changes["near"] = args.near_distance
     if args.bf16:
         import jax.numpy as jnp
 
@@ -359,9 +371,27 @@ def main(argv=None):
                    args.screenshot_spp, args.screenshot_frames, log)
 
     if args.test_transforms:
+        # Eval-time mesh visualization (reference render_img_training_view
+        # writes frame_XXXXXX_mesh.png via its pytorch3d rasterizer;
+        # scripts/render_utils.py:418-421): rasterize the extracted mesh
+        # from each eval view — normal map, or Lambertian w/ --shaded_mesh.
+        eval_mesh = None
+        if args.save_eval_images and (args.save_mesh or args.shaded_mesh):
+            if args.save_mesh:
+                eval_mesh = (verts, tris)
+            else:
+                from neus2_tpu.engine.mesh import extract_mesh
+                from neus2_tpu.ops.warp import scene_aabb
+
+                eval_mesh = extract_mesh(
+                    tb.state.ema_params, tb.config.field,
+                    resolution=args.mesh_resolution,
+                    box=scene_aabb(tb.config.aabb_scale),
+                )
         psnrs, ssims = evaluate(
             tb, args.test_transforms, args.eval_spp, log,
             save_dir=(out / "evaluation") if args.save_eval_images else None,
+            mesh=eval_mesh, mesh_shaded=args.shaded_mesh,
         )
         metrics = {
             "psnr_mean": float(np.mean(psnrs)),
@@ -410,7 +440,8 @@ def screenshot(tb, transforms: str, out_dir, spp: int, frames, log):
 
 
 def evaluate(
-    tb, test_transforms: str, spp: int, log, save_dir=None
+    tb, test_transforms: str, spp: int, log, save_dir=None,
+    mesh=None, mesh_shaded=False,
 ) -> tuple[list, list]:
     """PSNR/SSIM on held-out views (reference run.py:251-344 protocol:
     black background, spp=8, min transmittance 1e-4, sRGB space)."""
@@ -464,6 +495,20 @@ def evaluate(
             ) * 255).astype(np.uint8)
             imageio.imwrite(save_dir / f"view_{i:03d}.png",
                             np.concatenate([r8, t8, d8], axis=1))
+            if mesh is not None:
+                # reference frame_XXXXXX_mesh.png (render_utils.py:420)
+                from neus2_tpu.native import render_mesh_image
+
+                mrgb, _ = render_mesh_image(
+                    np.asarray(mesh[0]), np.asarray(mesh[1]),
+                    np.asarray(cams.poses[i]), np.asarray(cams.focal[i]),
+                    np.asarray(cams.principal[i]), cams.resolution,
+                    shaded=mesh_shaded,
+                )
+                imageio.imwrite(
+                    save_dir / f"view_{i:03d}_mesh.png",
+                    (np.clip(mrgb, 0, 1) * 255).astype(np.uint8),
+                )
     return psnrs, ssims
 
 
