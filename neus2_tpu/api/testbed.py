@@ -60,7 +60,9 @@ class Hyperparams:
     finetune_global_movement: bool = True
     mask_loss_weight: float = 0.0
     ek_loss_weight: float = 0.1
-    reset_density_grid_after_global_movement: bool = False
+    # Reference default TRUE (testbed.h:474): re-seed the occupancy grid
+    # after the pose-refinement phase moves the scene under it.
+    reset_density_grid_after_global_movement: bool = True
     incremental_reinit_sdf_mlp: bool = False
     incremental_reinit_sdf_mlp_iters: int = 10
     anneal_end: int = 0
@@ -123,11 +125,13 @@ def config_from_json(path: str | Path) -> tuple[TrainConfig, Hyperparams]:
         predict_global_movement_training_step=int(
             hp.get("predict_global_movement_training_step", 50)
         ),
-        finetune_global_movement=bool(hp.get("finetune_global_movement", False)),
+        # Unspecified-key defaults follow the reference's json parsing
+        # (testbed.cu:2123-2131): finetune + reset-grid default TRUE.
+        finetune_global_movement=bool(hp.get("finetune_global_movement", True)),
         mask_loss_weight=float(hp.get("mask_loss_weight", 0.0)),
         ek_loss_weight=float(hp.get("ek_loss_weight", 0.1)),
         reset_density_grid_after_global_movement=bool(
-            hp.get("reset_density_grid_after_global_movement", False)
+            hp.get("reset_density_grid_after_global_movement", True)
         ),
         incremental_reinit_sdf_mlp=bool(hp.get("incremental_reinit_sdf_mlp", False)),
         incremental_reinit_sdf_mlp_iters=int(hp.get("incremental_reinit_sdf_mlp_iters", 10)),

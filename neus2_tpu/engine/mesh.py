@@ -337,25 +337,54 @@ def chamfer_distance(a: np.ndarray, b: np.ndarray, n_sample: int = 30000, seed: 
     return float(jnp.sqrt(one_way(a_j, b_j)) + jnp.sqrt(one_way(b_j, a_j)))
 
 
-@partial(jax.jit, static_argnames=("config", "n_iters"))
+def ring_centroids(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Per-vertex 1-ring neighbor centroid (reference compute_mesh_1ring /
+    accumulate_1ring, src/marching_cubes.cu:720-727: each triangle deposits
+    its other two vertices, homogeneous-weight normalized).  Isolated
+    vertices keep their own position."""
+    a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+    pos = jnp.zeros_like(verts)
+    w = jnp.zeros((verts.shape[0],), verts.dtype)
+    for i, j, k in ((a, b, c), (b, c, a), (c, a, b)):
+        pos = pos.at[i].add(verts[j] + verts[k])
+        w = w.at[i].add(2.0)
+    safe_w = jnp.maximum(w, 1.0)[:, None]
+    return jnp.where(w[:, None] > 0, pos / safe_w, verts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "n_iters", "step", "k_smooth", "k_inflate"),
+)
 def refine_vertices(
     params,
     config: FieldConfig,
     verts_w: jnp.ndarray,  # (V, 3) in warped coords
     n_iters: int = 5,
     step: float = 0.8,
+    faces: jnp.ndarray | None = None,
+    k_smooth: float = 0.0,
+    k_inflate: float = 0.0,
 ) -> jnp.ndarray:
-    """Project mesh vertices onto the SDF zero set by Newton steps along the
-    SDF gradient (the reference's mesh-vertex optimization,
-    compute_mesh_opt_gradients, src/marching_cubes.cu:762: SDF-guided vertex
-    descent; the 1-ring smoothing half is left to standard mesh tools)."""
+    """Mesh-vertex optimization (reference compute_mesh_opt_gradients,
+    src/marching_cubes.cu:728-762): per iteration the vertex moves by a
+    Newton projection onto the SDF zero set (exact-step upgrade of the
+    reference's sign(density)*k_density step), minus ``k_smooth`` times its
+    offset from the 1-ring centroid (umbrella Laplacian), plus ``k_inflate``
+    along the outward SDF normal.  Smoothing/inflation need ``faces``/the
+    normal and default off, matching the pure-projection behavior."""
     from neus2_tpu.models.field import sdf_normal_features
 
     def body(v, _):
         s, n, _ = sdf_normal_features(params, v, config)
         n2 = jnp.sum(n * n, axis=-1, keepdims=True)
-        v = v - step * s[:, None] * n / jnp.maximum(n2, 1e-8)
-        return v, None
+        v_new = v - step * s[:, None] * n / jnp.maximum(n2, 1e-8)
+        if k_smooth and faces is not None:
+            v_new = v_new - k_smooth * (v - ring_centroids(v, faces))
+        if k_inflate:
+            unit_n = n / jnp.sqrt(jnp.maximum(n2, 1e-12))
+            v_new = v_new + k_inflate * unit_n
+        return v_new, None
 
     out, _ = jax.lax.scan(body, verts_w, None, length=n_iters)
     return out

@@ -150,6 +150,43 @@ def test_refine_vertices_projects_to_surface():
     assert float(jnp.abs(s1).mean()) < 0.2 * float(jnp.abs(s0).mean())
 
 
+def test_refine_vertices_smoothing():
+    """The 1-ring smoothing term (reference compute_mesh_opt_gradients
+    k_smooth) pulls a spiked vertex toward its neighbor centroid."""
+    from neus2_tpu.engine.mesh import refine_vertices, ring_centroids
+    from neus2_tpu.models.field import FieldConfig, init_field
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+
+    # A fan around vertex 0: 4 triangles (0, i, i+1).
+    ring = np.array(
+        [[0.45, 0.5, 0.5], [0.5, 0.45, 0.5], [0.55, 0.5, 0.5],
+         [0.5, 0.55, 0.5]], np.float32,
+    )
+    verts = jnp.asarray(np.concatenate([[[0.5, 0.5, 0.9]], ring]))
+    faces = jnp.asarray(
+        [[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 1]], jnp.int32
+    )
+    cent = ring_centroids(verts, faces)
+    # vertex 0's centroid is the ring average
+    np.testing.assert_allclose(
+        np.asarray(cent[0]), ring.mean(0), atol=1e-6
+    )
+    cfg = FieldConfig(
+        grid=HashGridConfig(n_levels=2, log2_hashmap_size=10,
+                            base_resolution=8, per_level_scale=1.6),
+        sdf_hidden_dim=16, rgb_hidden_dim=16,
+    )
+    params = init_field(jax.random.PRNGKey(0), cfg)
+    v_sm = refine_vertices(params, cfg, verts, n_iters=1, step=0.0,
+                           faces=faces, k_smooth=0.5)
+    v_raw = refine_vertices(params, cfg, verts, n_iters=1, step=0.0)
+    # with step=0 the only motion is the smoothing pull toward the centroid
+    np.testing.assert_allclose(np.asarray(v_raw), np.asarray(verts), atol=1e-6)
+    d_before = np.linalg.norm(np.asarray(verts[0] - cent[0]))
+    d_after = np.linalg.norm(np.asarray(v_sm[0]) - np.asarray(cent[0]))
+    assert d_after < 0.6 * d_before
+
+
 def test_hashgrid_introspection():
     """Per-level stats/histogram mirror the reference's gather_histograms
     (testbed.cu:3056-3117): zero-cut moments and fixed-scale binning."""
