@@ -500,6 +500,19 @@ class Testbed:
             self.ek_loss_scalar = float(a.ek_loss)
             self.mask_loss_scalar = float(a.mask_loss)
             self._update_batch_bucket(float(a.mean_occ_len))
+            # Zero-sample abort (reference train_nerf, testbed_nerf.cu:
+            # 3542-3548): a batch with no marched samples means the
+            # occupancy grid and the cameras disagree entirely — training
+            # can only produce NaNs from here, so warn and stop.  Checked
+            # on the existing 16-step fetch: no extra host sync.
+            if int(a.n_valid_samples) == 0:
+                print(
+                    "WARNING: training generated 0 samples; the scene "
+                    "geometry is outside the occupancy grid or all rays "
+                    "miss the AABB. Training aborted.",
+                    flush=True,
+                )
+                self.m_train = False
 
     def _update_batch_bucket(self, occ_len: float):
         """Adaptive (rays, samples) bucket: once the occupancy grid tightens,

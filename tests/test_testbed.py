@@ -416,6 +416,32 @@ def test_snapshot_resume_restores_dynamic_phase(tmp_path):
     assert t3.train_canonical and not t3.train_delta and not t3.use_delta
 
 
+def test_zero_sample_abort():
+    """A batch with zero marched samples warns and stops training
+    (reference train_nerf, testbed_nerf.cu:3542-3548 m_train=false)."""
+    import dataclasses
+
+    import numpy as np
+
+    ds = make_sphere_dataset(4, 24)
+    # Push every camera origin past the scene along its own viewing
+    # direction: rays start beyond the AABB pointing away -> no intersection,
+    # no samples.
+    fwd = ds.poses[:, :, 2]  # camera-space +z in world coords
+    poses = ds.poses.copy()
+    poses[:, :, 3] = poses[:, :, 3] + 100.0 * fwd
+    ds = dataclasses.replace(ds, poses=poses)
+    tb = Testbed(
+        config=tiny_config(),
+        hyper=Hyperparams(first_frame_max_training_step=50),
+    )
+    tb.load_training_data_from_datasets([ds])
+    tb.train()  # step 1 fetches aux -> detects the empty batch
+    assert tb.m_train is False
+    assert tb.frame() is False  # training loop refuses to continue
+    assert np.isfinite(tb.loss_scalar) or tb.loss_scalar == 0.0
+
+
 def test_delta_motion_prior_carries_previous_delta():
     """With Hyperparams.delta_motion_prior (ours — the reference re-inits to
     identity each frame), the new frame's delta starts at the previous
