@@ -57,6 +57,22 @@ def dyngather_supported(n_rows: int, n_features: int, dtype=jnp.float32) -> bool
     return n_rows % 8 == 0 and table_b + 2 * (idx_b + out_b) <= _VMEM_BUDGET
 
 
+def dyngather_plan(n_rows: int, n_features: int, dtype=jnp.float32):
+    """Widest per-call feature width that fits the VMEM plan, or None.
+
+    Wider-row configs (tpu_opt L7/F4, l4f8 F=8) blow the VMEM budget at
+    full row width; gathering the table in feature slices (same indices,
+    (T, F_slice) operands) stays legal under the lowering contract at the
+    cost of proportionally more gather rows.  Returns the slice width.
+    """
+    f = n_features
+    while f >= 1:
+        if n_features % f == 0 and dyngather_supported(n_rows, f, dtype):
+            return f
+        f //= 2
+    return None
+
+
 def _gather_kernel(tab_ref, idx_ref, out_ref):
     idx = jnp.broadcast_to(idx_ref[:], (idx_ref.shape[0], tab_ref.shape[1]))
     out_ref[:] = jnp.take_along_axis(tab_ref[:], idx, axis=0)
@@ -76,15 +92,31 @@ def dyngather_rows(table: jnp.ndarray, idx: jnp.ndarray, *,
     k = max(1, -(-M // T))
     pad = k * T - M
     idx_p = jnp.pad(idx, (0, pad)) if pad else idx
-    out = pl.pallas_call(
-        _gather_kernel,
-        out_shape=jax.ShapeDtypeStruct((k * T, F), table.dtype),
-        grid=(k,),
-        in_specs=[
-            pl.BlockSpec((T, F), lambda b: (0, 0)),   # table: resident
-            pl.BlockSpec((T, 1), lambda b: (b, 0)),   # index block
-        ],
-        out_specs=pl.BlockSpec((T, F), lambda b: (b, 0)),
-        interpret=interpret,
-    )(table, idx_p[:, None])
+    Fs = dyngather_plan(T, F, table.dtype)
+    if Fs is None:
+        raise ValueError(
+            f"table ({T}, {F}) {table.dtype} does not fit the VMEM plan"
+        )
+    idx_col = idx_p[:, None]
+
+    def one_slice(tab_slice):
+        return pl.pallas_call(
+            _gather_kernel,
+            out_shape=jax.ShapeDtypeStruct((k * T, Fs), table.dtype),
+            grid=(k,),
+            in_specs=[
+                pl.BlockSpec((T, Fs), lambda b: (0, 0)),  # table: resident
+                pl.BlockSpec((T, 1), lambda b: (b, 0)),   # index block
+            ],
+            out_specs=pl.BlockSpec((T, Fs), lambda b: (b, 0)),
+            interpret=interpret,
+        )(tab_slice, idx_col)
+
+    if Fs == F:
+        out = one_slice(table)
+    else:
+        out = jnp.concatenate(
+            [one_slice(table[:, s : s + Fs]) for s in range(0, F, Fs)],
+            axis=1,
+        )
     return out[:M] if pad else out

@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from neus2_tpu.ops.dyngather import dyngather_rows, dyngather_supported
+from neus2_tpu.ops.dyngather import dyngather_plan, dyngather_rows
 from neus2_tpu.ops.hashgrid import HashGridConfig, _corner_indices
 from neus2_tpu.ops.scatter import _on_cpu, segment_dense_sum_multi
 
@@ -159,9 +159,9 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
                 idx = _level_indices(
                     pos_grid, config, l, resolutions, sizes, use_hash
                 )
-                if _use_dyngather() and dyngather_supported(
+                if _use_dyngather() and dyngather_plan(
                     sizes[l], F, jnp.bfloat16
-                ):
+                ) is not None:
                     # VMEM-resident gather from a bf16 view of the table
                     # (reference parity: my_tcnn stores the grid in half
                     # precision) — the fp32 master params are untouched.

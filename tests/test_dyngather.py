@@ -12,10 +12,11 @@ import numpy as np
 import pytest
 
 from neus2_tpu.ops.dyngather import (
+    dyngather_plan,
     dyngather_rows,
     dyngather_supported,
-    _gather_kernel,
 )
+from neus2_tpu.ops import dyngather as dyngather_mod
 
 
 @pytest.mark.parametrize("T,F,M", [
@@ -48,6 +49,26 @@ def test_supported_predicate():
     assert not dyngather_supported(1 << 19, 2, jnp.float32)
     assert not dyngather_supported(1 << 19, 8)        # fp32 F=8 blows VMEM
     assert not dyngather_supported(1 << 19 | 4, 2)    # non-8-aligned rows
+    # wider-row configs fall back to feature slices
+    assert dyngather_plan(1 << 19, 2, jnp.bfloat16) == 2
+    assert dyngather_plan(1 << 19, 4, jnp.bfloat16) == 2   # tpu_opt: halves
+    assert dyngather_plan(1 << 19, 8, jnp.bfloat16) == 2   # l4f8: quarters
+    assert dyngather_plan(1 << 19 | 4, 2, jnp.bfloat16) is None
+
+
+def test_split_slices_match_take(monkeypatch):
+    """Force the feature-slice path at a small shape by shrinking the VMEM
+    budget; the sliced gather must equal the monolithic one."""
+    T, F, M = 512, 8, 700
+    table = jax.random.normal(jax.random.PRNGKey(0), (T, F), jnp.float32)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (M,), 0, T, jnp.int32)
+    # budget that admits (T,2) slices but not (T,8): table+2*(idx+out) bytes
+    monkeypatch.setattr(
+        dyngather_mod, "_VMEM_BUDGET", 512 * (2 * 4 + 2 * (4 + 2 * 4))
+    )
+    assert dyngather_plan(T, F) == 2
+    out = dyngather_rows(table, idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table)[np.asarray(idx)])
 
 
 @pytest.mark.parametrize("F,dtype", [(2, jnp.float32), (4, jnp.float32),
