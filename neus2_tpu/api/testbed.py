@@ -253,6 +253,29 @@ class Testbed:
         # switch (per-frame eval hook; reference run_dynamic.py:183-201).
         self.on_frame_complete = None
         self._frame_start_time = time.time()
+        # -- pyngp-compatible scripting surface (python_api.cu:317-616) ----
+        from neus2_tpu.api.compat import NerfView
+
+        self.nerf = NerfView(self)
+        # RGBA used when compositing eval renders (reference
+        # m_background_color; scripts set [0,0,0,1] for the eval protocol —
+        # that protocol value is the default here).
+        self.background_color = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+        self.rendering_min_transmittance = 1e-4
+        self.render_with_camera_distortion = True
+        self._sharpen = 0.0
+        # Virtual render camera (reference m_camera / fov / screen_center):
+        # None = render through training view 0's camera.
+        self._render_pose = None  # (3, 4) camera-to-world, ngp convention
+        self._fov_deg = None  # (fov_x, fov_y) degrees; None = dataset focal
+        self.fov_axis = 1  # reference m_fov_axis default (y)
+        self._screen_center = (0.5, 0.5)
+        # Stored-only display knobs the scripts set (no display stack here):
+        # accepted so ported scripts run unmodified; renders are sRGB (or
+        # linear via render(..., linear=True)) regardless.
+        self.color_space = "sRGB"
+        self.tonemap_curve = "Identity"
+        self.snap_to_pixel_centers = False
 
     # -- data ---------------------------------------------------------------
 
@@ -270,6 +293,11 @@ class Testbed:
 
     def _finish_load(self, n_frames_cap):
         self._load_frame(0, n_frames_cap)
+        self._derive_config_and_init_state()
+
+    def _derive_config_and_init_state(self):
+        """Derive dataset-dependent config (cascades, candidates, probe
+        budget, error-map resolution) and initialize a fresh TrainState."""
         if self.dataset.aabb_scale != self.config.aabb_scale:
             self.config = dataclasses.replace(
                 self.config, aabb_scale=self.dataset.aabb_scale
@@ -342,9 +370,25 @@ class Testbed:
             self.dataset = self._datasets[idx]
         else:
             self.dataset = load_dataset(self.frame_jsons[idx], n_frames_cap)
-        self.images = self.dataset.images_device(self.image_dtype)
         self.cameras = self.dataset.cameras()
         self.depths = self.dataset.depths_device()
+        self._refresh_images()
+
+    def _refresh_images(self):
+        """(Re)build the device image array from the dataset's pristine host
+        copy, applying the load-time sharpen filter if set (reference
+        nerf_loader.cu:808-825 via testbed.nerf.sharpen)."""
+        if self.dataset is None:
+            return
+        if self._sharpen > 0.0:
+            from neus2_tpu.api.compat import sharpen_images
+
+            imgs = sharpen_images(
+                np.asarray(self.dataset.images, np.float32), self._sharpen
+            )
+            self.images = jnp.asarray(imgs, self.image_dtype or jnp.float32)
+        else:
+            self.images = self.dataset.images_device(self.image_dtype)
         self._place_batch_data()
 
     def _place_batch_data(self):
@@ -410,6 +454,183 @@ class Testbed:
     @property
     def is_dynamic(self) -> bool:
         return len(self.frame_jsons) > 1
+
+    # -- pyngp-compatible scripting surface (python_api.cu:317-616) ---------
+
+    @property
+    def shall_train(self) -> bool:
+        """Training enable toggle (reference m_train / shall_train)."""
+        return self.m_train
+
+    @shall_train.setter
+    def shall_train(self, v: bool):
+        self.m_train = bool(v)
+
+    @property
+    def loss(self) -> float:
+        return self.loss_scalar
+
+    @property
+    def ek_loss(self) -> float:
+        return self.ek_loss_scalar
+
+    @property
+    def mask_loss(self) -> float:
+        return self.mask_loss_scalar
+
+    @property
+    def n_params(self) -> int:
+        """Trainable parameter count (reference python_api n_params)."""
+        return sum(
+            int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(self.state.params)
+        )
+
+    @property
+    def n_encoding_params(self) -> int:
+        """Hash-encoding parameter count (reference n_encoding_params)."""
+        tables = {
+            k: v for k, v in self.state.params.items()
+            if k.startswith("hashgrid")
+        }
+        return sum(
+            int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(tables)
+        )
+
+    @property
+    def first_frame_max_training_step(self) -> int:
+        return self.hyper.first_frame_max_training_step
+
+    @first_frame_max_training_step.setter
+    def first_frame_max_training_step(self, v: int):
+        self.hyper.first_frame_max_training_step = int(v)
+
+    @property
+    def next_frame_max_training_step(self) -> int:
+        return self.hyper.next_frame_max_training_step
+
+    @next_frame_max_training_step.setter
+    def next_frame_max_training_step(self, v: int):
+        self.hyper.next_frame_max_training_step = int(v)
+
+    # -- virtual render camera (reference m_camera / fov / screen_center) --
+
+    def set_nerf_camera_matrix(self, mat):
+        """Set the render camera from a nerf-convention 3x4 (or 4x4) matrix,
+        e.g. a row of a transforms.json (reference set_nerf_camera_matrix,
+        python_api.cu — applies nerf_matrix_to_ngp with the dataset's
+        scale/offset)."""
+        from neus2_tpu.data.dataset import nerf_matrix_to_ngp
+
+        mat = np.asarray(mat, np.float32)
+        self._render_pose = nerf_matrix_to_ngp(
+            mat,
+            self.dataset.scale,
+            np.asarray(self.dataset.offset, np.float32),
+            getattr(self.dataset, "from_na", False),
+        )
+
+    def set_camera_to_training_view(self, i: int):
+        """Adopt training view i's pose, fov and principal point as the
+        current render camera (reference set_camera_to_training_view)."""
+        i = int(i)
+        self._render_pose = np.asarray(self.cameras.poses[i])
+        res = np.asarray(
+            self.dataset.sizes[i]
+            if getattr(self.dataset, "sizes", None) is not None
+            else self.dataset.resolution,
+            np.float32,
+        )
+        f = np.asarray(self.cameras.focal[i], np.float32)
+        self._fov_deg = (
+            "xy",
+            tuple(float(v) for v in np.degrees(2.0 * np.arctan2(0.5 * res, f))),
+        )
+        self._screen_center = tuple(
+            float(v) for v in np.asarray(self.cameras.principal[i])
+        )
+
+    @property
+    def fov(self) -> float:
+        """Field of view along ``fov_axis``, degrees (reference fov)."""
+        return self.fov_xy[self.fov_axis]
+
+    @fov.setter
+    def fov(self, deg: float):
+        # Isotropic: one focal length (square pixels) derived from the
+        # fov_axis side, like the reference's relative-focal representation.
+        self._fov_deg = ("iso", float(deg))
+
+    @property
+    def fov_xy(self) -> tuple:
+        if self._fov_deg is not None and self._fov_deg[0] == "xy":
+            return tuple(self._fov_deg[1])
+        res = np.asarray(self.dataset.resolution, np.float32)
+        if self._fov_deg is not None:  # iso: same focal both axes
+            side = res[self.fov_axis]
+            f = 0.5 * side / np.tan(np.radians(self._fov_deg[1]) / 2.0)
+            focal = np.array([f, f], np.float32)
+        else:
+            focal = np.asarray(self.cameras.focal[0], np.float32)
+        return tuple(
+            float(v) for v in np.degrees(2.0 * np.arctan2(0.5 * res, focal))
+        )
+
+    @fov_xy.setter
+    def fov_xy(self, xy):
+        self._fov_deg = ("xy", (float(xy[0]), float(xy[1])))
+
+    @property
+    def screen_center(self) -> tuple:
+        return self._screen_center
+
+    @screen_center.setter
+    def screen_center(self, c):
+        self._screen_center = (float(c[0]), float(c[1]))
+
+    def _focal_for(self, resolution) -> np.ndarray:
+        """Render-camera focal length in pixels at the given (W, H)."""
+        W, H = resolution
+        res = np.array([W, H], np.float32)
+        if self._fov_deg is None:
+            # Keep the dataset view's fov: scale its pixel focal by the
+            # output/dataset size ratio along fov_axis.
+            base = np.asarray(self.cameras.focal[0], np.float32)
+            ratio = res[self.fov_axis] / float(
+                self.dataset.resolution[self.fov_axis]
+            )
+            return base * ratio
+        if self._fov_deg[0] == "iso":
+            f = 0.5 * res[self.fov_axis] / np.tan(
+                np.radians(self._fov_deg[1]) / 2.0
+            )
+            return np.array([f, f], np.float32)
+        fx, fy = self._fov_deg[1]
+        return np.array(
+            [
+                0.5 * W / np.tan(np.radians(fx) / 2.0),
+                0.5 * H / np.tan(np.radians(fy) / 2.0),
+            ],
+            np.float32,
+        )
+
+    def change_to_frame(self, idx: int):
+        """Switch the active dynamic frame for eval rendering (reference
+        change_to_frame; run_dynamic.py renders each frame after loading
+        its per-frame snapshot)."""
+        self.current_training_time_frame = int(idx)
+        self._load_frame(int(idx))
+        self.prepare_for_test()
+
+    def reload_network_from_file(self, path: str | Path):
+        """Rebuild configs from a network-config json and reinitialize the
+        network, keeping the loaded training data (reference
+        reload_network_from_file, python_api.cu)."""
+        cfg, hyper = config_from_json(path)
+        self.config, self.hyper = cfg, hyper
+        if self.dataset is not None:
+            self._derive_config_and_init_state()
+            self.training_step = 0
 
     # -- training loop ------------------------------------------------------
 
@@ -703,30 +924,84 @@ class Testbed:
             return delta_mod.accumulate_delta(self.state.acc, self.state.delta)
         return self.state.acc
 
+    def _default_render_cfg(self) -> RenderConfig:
+        return RenderConfig(
+            field=self.config.field,
+            aabb_scale=self.config.aabb_scale,
+            min_transmittance=self.rendering_min_transmittance,
+        )
+
+    def _render_cameras(self):
+        """The dataset cameras, with the lens model stripped when
+        render_with_camera_distortion is off (reference
+        m_nerf.render_with_camera_distortion)."""
+        cams = self.cameras
+        if not self.render_with_camera_distortion and cams.distortion is not None:
+            cams = cams._replace(distortion=None)
+        return cams
+
     def render(
         self,
         img_idx: int = 0,
         spp: int = 1,
-        background: float = 0.0,
+        background: float | None = None,
         render_cfg: RenderConfig | None = None,
         use_ema: bool = True,
+        *,
+        linear: bool = False,
+        mode: str = "shade",
     ):
-        cfg = render_cfg or RenderConfig(
-            field=self.config.field, aabb_scale=self.config.aabb_scale
-        )
+        """Render.  Two call forms:
+
+        * ``render(width, height, spp, linear)`` — the reference pybind
+          signature (python_api.cu:317): renders the CURRENT camera (see
+          set_nerf_camera_matrix / set_camera_to_training_view / fov /
+          screen_center) at the given resolution, composited over
+          ``background_color``; returns one (H, W, 4) float RGBA array
+          (linear=True converts the sRGB output back to linear radiance,
+          matching the reference's linear framebuffer reads).
+          Detected when the second positional argument > 8: it is a pixel
+          height there and an spp count here (spp is never > 8 in any
+          reference protocol, heights never <= 8).
+        * ``render(img_idx=i, spp=..., ...)`` — render training view i at
+          its native resolution; returns (rgb, depth, alpha) as before.
+        """
+        if isinstance(spp, int) and spp > 8:
+            # pyngp positional form: the four slots are (width, height,
+            # spp, linear) — re-bind them.
+            width, height = int(img_idx), int(spp)
+            ref_spp = 1 if background is None else int(background)
+            ref_linear = (
+                bool(render_cfg)
+                if render_cfg is not None
+                and not isinstance(render_cfg, RenderConfig)
+                else linear
+            )
+            return self._render_current_camera(
+                width, height, spp=ref_spp, linear=ref_linear,
+                use_ema=use_ema, mode=mode,
+            )
+        cfg = render_cfg or self._default_render_cfg()
         params = self.state.ema_params if use_ema else self.state.params
+        bg = (
+            jnp.asarray(self.background_color[:3])
+            if background is None
+            else background
+        )
+        cams = self._render_cameras()
         rgb, depth, alpha = render_image(
             params,
             self.effective_acc,
             self.state.occupancy,
-            self.cameras,
-            self.cameras.poses[img_idx],
-            self.cameras.focal[img_idx],
-            self.cameras.principal[img_idx],
+            cams,
+            cams.poses[img_idx],
+            cams.focal[img_idx],
+            cams.principal[img_idx],
             jax.random.PRNGKey(7),
             cfg,
-            background=background,
+            background=bg,
             spp=spp,
+            mode=mode,
             # Mixed-resolution datasets: render at the image's true size.
             resolution=(
                 tuple(int(v) for v in self.dataset.sizes[img_idx])
@@ -734,7 +1009,49 @@ class Testbed:
                 else None
             ),
         )
+        if linear:
+            from neus2_tpu.ops.losses import srgb_to_linear
+
+            rgb = srgb_to_linear(jnp.asarray(rgb))
         return np.asarray(rgb), np.asarray(depth), np.asarray(alpha)
+
+    def _render_current_camera(
+        self, width: int, height: int, spp: int = 1, linear: bool = False,
+        render_cfg: RenderConfig | None = None, use_ema: bool = True,
+        mode: str = "shade",
+    ):
+        """Reference-signature render: current camera, RGBA out."""
+        spp = int(spp) if spp else 1
+        cfg = render_cfg or self._default_render_cfg()
+        params = self.state.ema_params if use_ema else self.state.params
+        cams = self._render_cameras()
+        pose = (
+            self._render_pose
+            if self._render_pose is not None
+            else np.asarray(cams.poses[0])
+        )
+        rgb, depth, alpha = render_image(
+            params,
+            self.effective_acc,
+            self.state.occupancy,
+            cams,
+            jnp.asarray(pose, jnp.float32),
+            jnp.asarray(self._focal_for((width, height)), jnp.float32),
+            jnp.asarray(self._screen_center, jnp.float32),
+            jax.random.PRNGKey(7),
+            cfg,
+            background=jnp.asarray(self.background_color[:3]),
+            spp=spp,
+            mode=mode,
+            resolution=(int(width), int(height)),
+        )
+        if linear:
+            from neus2_tpu.ops.losses import srgb_to_linear
+
+            rgb = srgb_to_linear(jnp.asarray(rgb))
+        return np.concatenate(
+            [np.asarray(rgb), np.asarray(alpha)[..., None]], axis=-1
+        )
 
     def compute_and_save_marching_cubes_mesh(
         self, path: str | Path, resolution: int = 256, thresh: float = 0.0,

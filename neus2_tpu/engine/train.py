@@ -124,10 +124,14 @@ class TrainConfig:
     envmap_res: tuple = (16, 32)
     use_distortion: bool = False
     distortion_res: tuple = (32, 32)
+    # Marching step growth rate dt ~ constant*t (reference
+    # m_nerf.cone_angle_constant = 1/256, testbed_nerf.cu:58; settable via
+    # testbed.nerf.cone_angle_constant, python_api.cu).
+    cone_angle_constant: float = 1.0 / 256.0
 
     @property
     def cone_angle(self) -> float:
-        return cone_angle_for_scene(self.aabb_scale)
+        return cone_angle_for_scene(self.aabb_scale, self.cone_angle_constant)
 
     def aabb(self) -> AABB:
         return scene_aabb(self.aabb_scale)
