@@ -34,7 +34,7 @@ def flagship_config(variant: str = "parity"):
 
     from neus2_tpu.engine.train import TrainConfig
     from neus2_tpu.models.field import FieldConfig
-    from neus2_tpu.ops.hashgrid import HashGridConfig
+    from neus2_tpu.utils.variants import flagship_grid
 
     # Flagship config: base.json-scale hashgrid, 4096 rays x 64 samples
     # (the reference's 2^18-sample batch geometry).  bf16 compute matches
@@ -42,44 +42,23 @@ def flagship_config(variant: str = "parity"):
     # master params, my_tcnn trainer.h:79-88); quality parity is enforced
     # by tests/test_train_e2e.py::test_bf16_compute_quality_parity and
     # measured at 0.27 dB held-out PSNR delta (PERF.md).
-    cfg = TrainConfig(
+    #
+    # Wider-row variants (tpu_opt L7/F4, l4f8 L4/F8) hold the table
+    # capacity / feature width fixed and cut the level count — NOT the
+    # headline: the driver's plain `python bench.py` stays on the
+    # reference-parity L14/F2 grid.  Only the grid differs; batch geometry,
+    # precision and losses are shared (utils/variants.py, one construction
+    # for bench + validators).
+    return TrainConfig(
         field=FieldConfig(
             compute_dtype=jnp.bfloat16,
-            grid=HashGridConfig(
-                n_levels=14,
-                log2_hashmap_size=19,
-                base_resolution=16,
-                per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 14),
-            )
+            grid=flagship_grid(variant),
         ),
         n_rays=4096,
         samples_per_ray=64,
         n_candidates=256,
         mask_loss_weight=0.1,
     )
-    if variant != "parity":
-        # Wider-row variants at the same table capacity / feature width
-        # (PERF.md speed-of-light: step cost scales with the level count).
-        # NOT the headline — the driver's plain `python bench.py` stays on
-        # the reference-parity L14/F2 config.  Only the grid differs; batch
-        # geometry / precision / losses are shared with the parity config.
-        import dataclasses
-
-        levels, feats = {"tpu_opt": (7, 4), "l4f8": (4, 8)}[variant]
-        cfg = dataclasses.replace(
-            cfg,
-            field=dataclasses.replace(
-                cfg.field,
-                grid=HashGridConfig(
-                    n_levels=levels, n_features_per_level=feats,
-                    log2_hashmap_size=19, base_resolution=16,
-                    per_level_scale=HashGridConfig.per_level_scale_from_top(
-                        16, 2048, levels
-                    ),
-                ),
-            ),
-        )
-    return cfg
 
 
 def _setup(config):
@@ -277,6 +256,13 @@ def bench_render(n_iters=3, warm_steps=64, variant="parity", res=512):
         params={
             **state.params,
             "variance": jnp.full_like(state.params["variance"], 0.75),
+        },
+        # The render below reads ema_params — set the converged variance
+        # there too (no train steps run after this, so the EMA would
+        # otherwise keep the warmup-soft value while occupancy is sharp).
+        ema_params={
+            **state.ema_params,
+            "variance": jnp.full_like(state.ema_params["variance"], 0.75),
         },
         occupancy=occ_mod.reset_density(state.occupancy),
     )

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
-
 
 def _cfg_property(field: str, doc: str):
     """A property that proxies a TrainConfig field on the owning Testbed."""
@@ -124,21 +122,7 @@ class NerfView:
         self._tb._refresh_images()
 
 
-def sharpen_images(images: np.ndarray, amount: float) -> np.ndarray:
-    """The reference's load-time sharpening filter (nerf_loader.cu:103-123,
-    809-825): out = max(0, (center_w * p - left - up - right - down) /
-    (center_w - 4)) with center_w = 4 + 1/amount.  Edge pixels clamp to the
-    border (the reference's index arithmetic wraps rows at image edges — a
-    quirk, not a contract)."""
-    if amount <= 0.0:
-        return images
-    center_w = 4.0 + 1.0 / amount
-    p = np.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    out = (
-        center_w * images
-        - p[:, :-2, 1:-1]
-        - p[:, 2:, 1:-1]
-        - p[:, 1:-1, :-2]
-        - p[:, 1:-1, 2:]
-    ) * (1.0 / (center_w - 4.0))
-    return np.maximum(out, 0.0).astype(images.dtype)
+# Canonical implementation in ops/image.py — shared with the loader's json
+# "sharpen" key (data/dataset.py); re-exported here for the nerf.sharpen
+# setter's callers.
+from neus2_tpu.ops.image import sharpen_images  # noqa: E402  (re-export)

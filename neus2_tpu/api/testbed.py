@@ -942,45 +942,40 @@ class Testbed:
 
     def render(
         self,
-        img_idx: int = 0,
+        *args,
+        img_idx: int | None = None,
         spp: int = 1,
         background: float | None = None,
         render_cfg: RenderConfig | None = None,
         use_ema: bool = True,
-        *,
         linear: bool = False,
         mode: str = "shade",
     ):
-        """Render.  Two call forms:
+        """Render.  Two call forms, disambiguated by positional arity:
 
-        * ``render(width, height, spp, linear)`` — the reference pybind
-          signature (python_api.cu:317): renders the CURRENT camera (see
+        * ``render(width, height[, spp[, linear]])`` — two or more
+          positional arguments: the reference pybind signature
+          (python_api.cu:317).  Renders the CURRENT camera (see
           set_nerf_camera_matrix / set_camera_to_training_view / fov /
           screen_center) at the given resolution, composited over
           ``background_color``; returns one (H, W, 4) float RGBA array
           (linear=True converts the sRGB output back to linear radiance,
           matching the reference's linear framebuffer reads).
-          Detected when the second positional argument > 8: it is a pixel
-          height there and an spp count here (spp is never > 8 in any
-          reference protocol, heights never <= 8).
-        * ``render(img_idx=i, spp=..., ...)`` — render training view i at
-          its native resolution; returns (rgb, depth, alpha) as before.
+        * ``render(i)`` / ``render(img_idx=i, spp=..., ...)`` — at most one
+          positional argument: render training view i at its native
+          resolution; returns (rgb, depth, alpha) as before.
         """
-        if isinstance(spp, int) and spp > 8:
-            # pyngp positional form: the four slots are (width, height,
-            # spp, linear) — re-bind them.
-            width, height = int(img_idx), int(spp)
-            ref_spp = 1 if background is None else int(background)
-            ref_linear = (
-                bool(render_cfg)
-                if render_cfg is not None
-                and not isinstance(render_cfg, RenderConfig)
-                else linear
-            )
+        if len(args) >= 2:  # pyngp form: (width, height[, spp[, linear]])
+            width, height = int(args[0]), int(args[1])
+            ref_spp = int(args[2]) if len(args) > 2 else spp
+            ref_linear = bool(args[3]) if len(args) > 3 else linear
             return self._render_current_camera(
                 width, height, spp=ref_spp, linear=ref_linear,
-                use_ema=use_ema, mode=mode,
+                render_cfg=render_cfg, use_ema=use_ema, mode=mode,
             )
+        if args:
+            img_idx = int(args[0])
+        img_idx = 0 if img_idx is None else img_idx
         cfg = render_cfg or self._default_render_cfg()
         params = self.state.ema_params if use_ema else self.state.params
         bg = (
@@ -1075,19 +1070,27 @@ class Testbed:
         # ``aabb``: optional crop box ((lo3), (hi3)) in warped coordinates —
         # the pyngp surface takes a BoundingBox arg (python_api.cu:382;
         # run_dynamic.py passes bbox_min/bbox_max to crop per-frame meshes).
+        # The crop only limits WHERE the SDF grid is sampled (extract_mesh's
+        # ``box``); the field is always queried in the scene warp frame
+        # (``aabb``) — passing the crop as the warp box would evaluate the
+        # SDF at wrong positions and distort the mesh.
+        scene_box = scene_aabb(self.config.aabb_scale)
         if aabb is None:
-            aabb = scene_aabb(self.config.aabb_scale)
+            crop = scene_box
         elif not hasattr(aabb, "lo"):
             from neus2_tpu.ops.warp import AABB
 
             lo, hi = aabb
-            aabb = AABB(jnp.asarray(lo, jnp.float32),
+            crop = AABB(jnp.asarray(lo, jnp.float32),
                         jnp.asarray(hi, jnp.float32))
+        else:
+            crop = aabb
         verts, tris = extract_mesh(
             self.state.ema_params,
             self.config.field,
             resolution=resolution,
-            aabb=aabb,
+            box=crop,
+            aabb=scene_box,
             thresh=thresh,
         )
         if keep_largest_component and len(verts):
@@ -1102,7 +1105,8 @@ class Testbed:
                 colors = np.asarray(
                     vertex_colors(
                         self.state.ema_params, self.config.field,
-                        jnp.asarray(verts, jnp.float32), aabb.lo, aabb.diag,
+                        jnp.asarray(verts, jnp.float32),
+                        scene_box.lo, scene_box.diag,
                     )
                 )
             save_mesh_ply(

@@ -178,25 +178,13 @@ def _load_image_rgba(path: Path) -> np.ndarray:
 
 
 def _apply_sharpen(img: np.ndarray, amount: float) -> np.ndarray:
-    """4-neighbor unsharp filter (reference nerf_loader.cu:103-127, 808-830).
+    """4-neighbor unsharp filter (reference nerf_loader.cu:103-127, 808-830);
+    single-image wrapper over the canonical batched implementation
+    (ops/image.py sharpen_images, shared with the testbed.nerf.sharpen
+    setter)."""
+    from neus2_tpu.ops.image import sharpen_images
 
-    out = (center_w*p - left - up - right - down) / (center_w - 4) with
-    center_w = 4 + 1/amount (5 = strong ... inf = none).  The reference
-    clamps neighbors on the flat pixel index; we clamp per-axis (edge
-    replicate), which differs only on the one-pixel image border.
-    """
-    cw = 4.0 + 1.0 / amount
-    p = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge").astype(np.float32)
-    out = (
-        cw * p[1:-1, 1:-1]
-        - p[1:-1, :-2]
-        - p[1:-1, 2:]
-        - p[:-2, 1:-1]
-        - p[2:, 1:-1]
-    ) / (cw - 4.0)
-    # Reference clamps at zero (nerf_loader.cu:122 max(0.f, ...)) — keeps
-    # premultiplied RGBA non-negative.
-    return np.maximum(out, 0.0).astype(img.dtype)
+    return sharpen_images(img[None], amount)[0]
 
 
 def _focal_from_json(

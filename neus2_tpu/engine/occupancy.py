@@ -112,16 +112,25 @@ def probe_cells(
     """
     c = state.n_cascades
     g = state.grid_size
-    n_cells = c * g * g * g
+    g3 = g * g * g  # power of two (g = 128), so uint32 wraparound is benign
     base = (state.ema_step.astype(jnp.uint32) * jnp.uint32(n_probe)).astype(
         jnp.uint32
     )
     i = jnp.arange(n_probe, dtype=jnp.uint32) + base
-    flat = ((i * jnp.uint32(_PROBE_PRIME)) % jnp.uint32(n_cells)).astype(
-        jnp.int32
-    )
-    cascade = flat // (g * g * g)
-    cell = flat % (g * g * g)
+    # Bijection over any n_cells consecutive i: the cascade cycles fastest
+    # (i mod c) so every probe PREFIX spreads across all cascades (the
+    # step-0 prior sweep relies on this), and the within-cascade cell is a
+    # fixed-point-scramble of i//c modulo the power-of-two g^3 — where the
+    # uint32 product wrap IS the modulus, so the permutation is exact.
+    # A single (i * PRIME) % n_cells does NOT permute when n_cells is not a
+    # power of two (3/5/6/7-cascade scenes): the product wraps mod 2^32
+    # before the reduction, and measured ~14% of cells were never probed
+    # per sweep — starving their EMA against the sweep-calibrated decay.
+    cell = (
+        ((i // jnp.uint32(c)) * jnp.uint32(_PROBE_PRIME)) % jnp.uint32(g3)
+    ).astype(jnp.int32)
+    cascade = (i % jnp.uint32(c)).astype(jnp.int32)
+    flat = cascade * g3 + cell
     jitter = jax.random.uniform(key, (n_probe, 3))
     pos = cell_position(cell, cascade, jitter, g)
     return flat, cascade, pos

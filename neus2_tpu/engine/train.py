@@ -660,11 +660,15 @@ def occupancy_prior_sweep(
     from neus2_tpu.constants import NERF_GRIDSIZE
 
     n_cells = config.occ_cascades * NERF_GRIDSIZE**3
-    # Production budgets sweep the whole grid; tiny (test) budgets would
-    # need 1000+ updates for full coverage — cap them at a quick partial
-    # sweep.
-    cap = max_updates if config.occ_n_probe >= (1 << 16) else 16
-    sweeps = min(-(-n_cells // config.occ_n_probe), cap)
+    # Complete the FULL sweep whenever it fits the update budget — partial
+    # init coverage leaves real geometry unoccupied (aabb_scale>1 scenes
+    # lose their outer cascades and the scene can never train there).
+    # Production probe budgets are sized so the sweep fits (testbed
+    # _derive_config_and_init_state: one sweep per 256 early updates);
+    # only deliberately tiny test budgets exceed it — those get a quick
+    # 16-update partial sweep instead of a 500+-update init.
+    sweeps_needed = -(-n_cells // config.occ_n_probe)
+    sweeps = sweeps_needed if sweeps_needed <= max_updates else 16
     for _ in range(sweeps):
         state = occupancy_update(state, config)
     return state

@@ -75,3 +75,30 @@ def srgb_eval_target(tex: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(
         a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a, 0.0
     )
+
+
+def sharpen_images(images, amount: float):
+    """The reference's load-time unsharp filter on (N, H, W, C) images
+    (reference sharpen kernel, nerf_loader.cu:103-123, 808-825):
+    out = max(0, (center_w * p - left - up - right - down) / (center_w - 4))
+    with center_w = 4 + 1/amount (5 = strong ... inf = none).  Edge pixels
+    clamp per-axis (the reference's flat-index arithmetic wraps rows at the
+    border — a quirk, not a contract).  numpy in / numpy out (host-side,
+    applied once at load)."""
+    import numpy as np
+
+    if amount <= 0.0:
+        return images
+    center_w = 4.0 + 1.0 / amount
+    p = np.pad(
+        images.astype(np.float32), ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="edge",
+    )
+    out = (
+        center_w * images
+        - p[:, :-2, 1:-1]
+        - p[:, 2:, 1:-1]
+        - p[:, 1:-1, :-2]
+        - p[:, 1:-1, 2:]
+    ) * (1.0 / (center_w - 4.0))
+    return np.maximum(out, 0.0).astype(images.dtype)

@@ -464,6 +464,14 @@ def evaluate(
     )
     psnrs, ssims = [], []
     for i in range(ds.n_images):
+        # Mixed-resolution datasets: render at the image's TRUE size and
+        # crop the GT to it — the loader zero-pads images to the common max
+        # resolution, and scoring over the padding region corrupts both
+        # PSNR and SSIM.
+        if ds.sizes is not None:
+            w_i, h_i = (int(v) for v in ds.sizes[i])
+        else:
+            w_i, h_i = ds.resolution
         rgb, _, _ = render_image(
             tb.state.ema_params,
             tb.effective_acc,
@@ -476,8 +484,9 @@ def evaluate(
             cfg,
             background=0.0,
             spp=spp,
+            resolution=(w_i, h_i),
         )
-        target = srgb_eval_target(images[i])
+        target = srgb_eval_target(images[i][:h_i, :w_i])
         p = float(psnr_fn(rgb, target))
         s = float(ssim_fn(rgb, target))
         psnrs.append(p)
@@ -502,7 +511,7 @@ def evaluate(
                 mrgb, _ = render_mesh_image(
                     np.asarray(mesh[0]), np.asarray(mesh[1]),
                     np.asarray(cams.poses[i]), np.asarray(cams.focal[i]),
-                    np.asarray(cams.principal[i]), cams.resolution,
+                    np.asarray(cams.principal[i]), (w_i, h_i),
                     shaded=mesh_shaded,
                 )
                 imageio.imwrite(

@@ -275,3 +275,43 @@ def test_native_image_decoder_matches_python(tmp_path):
         ref = _load_image_rgba(p)
         assert o is not None and o.shape == ref.shape
         np.testing.assert_allclose(o, ref, atol=1e-6)
+
+
+def test_evaluate_mixed_resolution_scores_true_pixels(tmp_path, monkeypatch):
+    """run.py evaluate() on a mixed-resolution test set renders each view at
+    its TRUE size and crops the padded GT to it — scoring over the loader's
+    zero padding corrupts PSNR/SSIM for every smaller image (regression)."""
+    from neus2_tpu import run as run_mod
+    from neus2_tpu.api.testbed import Testbed
+    from neus2_tpu.data.synthetic import make_sphere_dataset
+    from neus2_tpu.engine.train import TrainConfig
+    from neus2_tpu.models.field import FieldConfig
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+    import neus2_tpu.ops.image as image_mod
+
+    path = _write_scene(tmp_path, [{"h": 24, "w": 32}, {"h": 16, "w": 20}])
+    cfg = TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(
+                n_levels=3, log2_hashmap_size=11, base_resolution=16,
+                per_level_scale=1.4,
+            ),
+            sdf_hidden_dim=16, rgb_hidden_dim=16,
+        ),
+        n_rays=64, samples_per_ray=8, n_candidates=24, occ_n_probe=1 << 12,
+    )
+    tb = Testbed(config=cfg)
+    tb.load_training_data_from_datasets([make_sphere_dataset(2, 16)])
+
+    shapes = []
+    real_psnr = image_mod.psnr
+
+    def spy(a, b):
+        assert np.asarray(a).shape[:2] == np.asarray(b).shape[:2]
+        shapes.append(np.asarray(a).shape[:2])
+        return real_psnr(a, b)
+
+    monkeypatch.setattr(image_mod, "psnr", spy)
+    psnrs, _ = run_mod.evaluate(tb, str(path), spp=1, log=lambda *a: None)
+    assert shapes == [(24, 32), (16, 20)]
+    assert all(np.isfinite(p) for p in psnrs)

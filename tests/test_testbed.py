@@ -500,3 +500,18 @@ def test_delta_motion_prior_carries_previous_delta():
     assert tb2.training_network_next_frame()
     d2 = jax.device_get(tb2.state.delta)
     np.testing.assert_allclose(d2["transition"], [0.0, 0.0, 0.0], atol=1e-7)
+
+
+def test_mesh_export_crop_box(static_testbed, tmp_path):
+    """A crop AABB limits WHERE the SDF grid is sampled but must not change
+    the field's warp frame: cropped vertices lie on the same sphere surface
+    as the full export (regression: the crop box was once passed as the warp
+    box, so every cropped mesh sampled the field at wrong positions)."""
+    verts, tris = static_testbed.compute_and_save_marching_cubes_mesh(
+        tmp_path / "crop.obj", resolution=96,
+        aabb=((0.5, 0.1, 0.1), (0.9, 0.9, 0.9)),
+    )
+    assert len(verts) > 50
+    assert (verts[:, 0] >= 0.5 - 1e-3).all() and (verts[:, 0] <= 0.9 + 1e-3).all()
+    radii = np.linalg.norm(verts - 0.5, axis=-1)
+    assert 0.15 < float(np.median(radii)) < 0.45

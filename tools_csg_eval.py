@@ -19,8 +19,7 @@ import numpy as np
 from neus2_tpu.api.testbed import Hyperparams, Testbed
 from neus2_tpu.data.synthetic import make_csg_dataset
 from neus2_tpu.engine.render import RenderConfig, render_image
-from neus2_tpu.ops.image import psnr, ssim
-from neus2_tpu.ops.losses import linear_to_srgb
+from neus2_tpu.ops.image import psnr, srgb_eval_target, ssim
 
 
 def main():
@@ -40,23 +39,9 @@ def main():
 
     from neus2_tpu.engine.train import TrainConfig
     from neus2_tpu.models.field import FieldConfig
-    from neus2_tpu.ops.hashgrid import HashGridConfig
+    from neus2_tpu.utils.variants import flagship_grid
 
-    name = os.environ.get("CSG_CONFIG", "")
-    if name == "tpu_opt":
-        grid = HashGridConfig(
-            n_levels=7, n_features_per_level=4, log2_hashmap_size=19,
-            base_resolution=16,
-            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 7))
-    elif name == "l4f8":
-        grid = HashGridConfig(
-            n_levels=4, n_features_per_level=8, log2_hashmap_size=19,
-            base_resolution=16,
-            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 4))
-    else:
-        grid = HashGridConfig(
-            n_levels=14, log2_hashmap_size=19, base_resolution=16,
-            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 14))
+    grid = flagship_grid(os.environ.get("CSG_CONFIG", "") or "parity")
     config = TrainConfig(field=FieldConfig(grid=grid), n_rays=4096,
                          samples_per_ray=64, n_candidates=256,
                          ek_loss_weight=0.1, mask_loss_weight=0.1)
@@ -80,11 +65,7 @@ def main():
             cams, cams.poses[k], cams.focal[k], cams.principal[k],
             jax.random.PRNGKey(k), rcfg, background=0.0, spp=spp,
         )
-        tex = imgs[k]
-        a = tex[..., 3:4]
-        target = jnp.where(
-            a > 0, linear_to_srgb(tex[..., :3] / jnp.where(a > 0, a, 1.0)) * a,
-            0.0)
+        target = srgb_eval_target(imgs[k])
         p, s = float(psnr(jnp.asarray(rgb), target)), float(ssim(jnp.asarray(rgb), target))
         ps.append(p); ss.append(s)
         print(f"view {k}: PSNR {p:.2f} SSIM {s:.4f} "

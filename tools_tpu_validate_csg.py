@@ -36,7 +36,6 @@ from neus2_tpu.data.synthetic import SCENES, make_csg_dataset
 from neus2_tpu.engine.rays import Cameras
 from neus2_tpu.engine.train import TrainConfig
 from neus2_tpu.models.field import FieldConfig, sdf_fn
-from neus2_tpu.ops.hashgrid import HashGridConfig
 from neus2_tpu.ops.image import psnr, srgb_eval_target, ssim
 
 import os
@@ -90,29 +89,11 @@ def gt_surface_points(n: int, seed: int = 0) -> np.ndarray:
 
 
 def main():
-    # CSG_CONFIG=tpu_opt: the L7/F4 TPU-optimal network (configs/tpu_opt.json
-    # — same features/table capacity as L14/F2 parity, 2x fewer lookups);
-    # default is the reference-parity L14/F2 flagship.
-    if os.environ.get("CSG_CONFIG", "") == "tpu_opt":
-        grid = HashGridConfig(
-            n_levels=7, n_features_per_level=4, log2_hashmap_size=19,
-            base_resolution=16,
-            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 7),
-        )
-    elif os.environ.get("CSG_CONFIG", "") == "l4f8":
-        # Wider-row candidate: 3.5x fewer lookups than L14/F2 at the same
-        # table capacity (PERF.md speed-of-light note; quality-neutral on
-        # the easy e2e scene — this run is the hard-scene check).
-        grid = HashGridConfig(
-            n_levels=4, n_features_per_level=8, log2_hashmap_size=19,
-            base_resolution=16,
-            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 4),
-        )
-    else:
-        grid = HashGridConfig(
-            n_levels=14, log2_hashmap_size=19, base_resolution=16,
-            per_level_scale=HashGridConfig.per_level_scale_from_top(16, 2048, 14),
-        )
+    # CSG_CONFIG selects the flagship grid variant (parity L14/F2,
+    # tpu_opt L7/F4, l4f8 L4/F8 — configs/*.json, utils/variants.py).
+    from neus2_tpu.utils.variants import flagship_grid
+
+    grid = flagship_grid(os.environ.get("CSG_CONFIG", "") or "parity")
     config = TrainConfig(
         field=FieldConfig(grid=grid),
         n_rays=4096,
