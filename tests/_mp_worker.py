@@ -6,7 +6,12 @@ Prints one JSON line with the process view + the parallel-train-step loss.
 """
 
 import json
+import os
 import sys
+
+# The worker is a bare subprocess: it inherits neither pytest's rootdir
+# sys.path insertion nor an editable install.  Make the repo importable.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 
