@@ -25,23 +25,19 @@ tests/test_hashgrid_fast.py.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from neus2_tpu.ops.dyngather import dyngather_plan, dyngather_rows
 from neus2_tpu.ops.hashgrid import HashGridConfig, _corner_indices
-from neus2_tpu.ops.scatter import _on_cpu, segment_dense_sum_multi
+from neus2_tpu.ops.scatter import segment_dense_sum_multi
 
-
-def _use_dyngather() -> bool:
-    """Opt-in switch for the Mosaic dynamic_gather forward path
-    (ops/dyngather.py): VMEM-resident bf16 table gathers instead of XLA's
-    ~6 ns/row HBM gathers.  Off by default until timed on hardware
-    (tools_probe_dyngather.py); never used on CPU (no Mosaic)."""
-    return os.environ.get("NEUS2_DYNGATHER", "0") != "0" and not _on_cpu()
+# NOTE: a Mosaic tpu.dynamic_gather forward path (VMEM-resident bf16 table)
+# was prototyped and deleted: the v5e Mosaic compiler crashes
+# (tpu_compile_helper exit 1) on EVERY take_along_axis kernel shape, down to
+# 512x128, while other Pallas kernels compile fine — measured on-chip
+# 2026-08-19; full record in PERF.md "Mosaic dynamic_gather: dead end".
 
 # Corner offsets (8, 3): corner >> d & 1 per dimension.
 _CORNERS = [[(c >> d) & 1 for d in range(3)] for c in range(8)]
@@ -159,17 +155,7 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
                 idx = _level_indices(
                     pos_grid, config, l, resolutions, sizes, use_hash
                 )
-                if _use_dyngather() and dyngather_plan(
-                    sizes[l], F, jnp.bfloat16
-                ) is not None:
-                    # VMEM-resident gather from a bf16 view of the table
-                    # (reference parity: my_tcnn stores the grid in half
-                    # precision) — the fp32 master params are untouched.
-                    vals = dyngather_rows(
-                        tables[l].astype(jnp.bfloat16), idx.reshape(-1)
-                    ).reshape(n, 8, F).astype(positions.dtype)
-                else:
-                    vals = jnp.take(tables[l], idx, axis=0)  # (N,8,F)
+                vals = jnp.take(tables[l], idx, axis=0)  # (N,8,F)
             else:
                 idx = _corner_indices(pos_grid, resolutions[l], sizes[l], False)
                 rolled = jnp.stack(
