@@ -270,11 +270,13 @@ class Testbed:
         self._fov_deg = None  # (fov_x, fov_y) degrees; None = dataset focal
         self.fov_axis = 1  # reference m_fov_axis default (y)
         self._screen_center = (0.5, 0.5)
-        # Stored-only display knobs the scripts set (no display stack here):
-        # accepted so ported scripts run unmodified; renders are sRGB (or
-        # linear via render(..., linear=True)) regardless.
-        self.color_space = "sRGB"
+        # Output controls (reference m_exposure / m_tonemap_curve,
+        # render_buffer.cu:313-332): applied to every shade-mode render.
+        self.exposure = 0.0
         self.tonemap_curve = "Identity"
+        # Stored-only display knobs the scripts set (no display stack here):
+        # accepted so ported scripts run unmodified.
+        self.color_space = "sRGB"
         self.snap_to_pixel_centers = False
 
     # -- data ---------------------------------------------------------------
@@ -1003,12 +1005,32 @@ class Testbed:
                 if getattr(self.dataset, "sizes", None) is not None
                 else None
             ),
+            **self._render_extras(),
         )
         if linear:
             from neus2_tpu.ops.losses import srgb_to_linear
 
             rgb = srgb_to_linear(jnp.asarray(rgb))
         return np.asarray(rgb), np.asarray(depth), np.asarray(alpha)
+
+    def _render_extras(self) -> dict:
+        """Learned render-time extras for render_image: the trained envmap
+        backgrounds non-hit rays (reference init_rays_from_camera,
+        testbed_nerf.cu:2298-2299), the learned distortion grid warps ray
+        generation (2208-2331), and exposure/tonemap are the render-buffer
+        output controls (render_buffer.cu:313-332)."""
+        cam = self.state.cam
+        return {
+            "envmap": cam["envmap"] if self.config.use_envmap else None,
+            "distortion": (
+                cam["distortion"]
+                if self.config.use_distortion
+                and self.render_with_camera_distortion
+                else None
+            ),
+            "exposure": float(self.exposure),
+            "tonemap": str(self.tonemap_curve),
+        }
 
     def _render_current_camera(
         self, width: int, height: int, spp: int = 1, linear: bool = False,
@@ -1039,6 +1061,7 @@ class Testbed:
             spp=spp,
             mode=mode,
             resolution=(int(width), int(height)),
+            **self._render_extras(),
         )
         if linear:
             from neus2_tpu.ops.losses import srgb_to_linear

@@ -245,6 +245,10 @@ def render_image(
     spp: int | None = None,
     mode: str = "shade",
     resolution: tuple[int, int] | None = None,
+    envmap: jnp.ndarray | None = None,
+    distortion: jnp.ndarray | None = None,
+    exposure: float = 0.0,
+    tonemap: str = "identity",
 ):
     """Render a full image -> (H, W, 3) image, (H, W) depth, (H, W) alpha.
 
@@ -255,6 +259,17 @@ def render_image(
     Eval protocol (reference scripts/run.py:264-271): black background,
     spp=8 (jittered sample offsets averaged), min transmittance 1e-4; network
     rgb output already lives in sRGB space.
+
+    ``envmap``: learned (H, W, 4) environment map — non-hit radiance
+    backgrounds every ray exactly as in training (reference
+    init_rays_from_camera reads the envmap for render rays,
+    testbed_nerf.cu:2298-2299; train composite at 1646-1655).
+    ``distortion``: learned (H, W, 2) uv-offset grid applied to ray
+    generation, matching the training-side warp (testbed_nerf.cu:2208-2331).
+    ``exposure``/``tonemap``: reference CudaRenderBuffer output controls
+    (render_buffer.cu:313-332) — sRGB -> linear, x 2^exposure, curve
+    ("identity"|"aces"|"hable"|"reinhard"), -> sRGB; applied to the full
+    composited frame in shade mode.
     """
     w, h = resolution or cameras.resolution
     # Carry the dataset's lens model: rendering through a distorted camera
@@ -275,10 +290,28 @@ def render_image(
     uu, vv = jnp.meshgrid(u, v)
     uv = jnp.stack([uu.ravel(), vv.ravel()], axis=-1)
     idx = jnp.zeros((uv.shape[0],), jnp.int32)
+    if distortion is not None:
+        from neus2_tpu.ops.envmap import apply_distortion
+
+        uv = apply_distortion(distortion, uv)
     origins, dirs = pixel_to_ray(one_cam, idx, uv)
 
     spp = spp or config.spp
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (3,))
+    # Per-ray sRGB background: the learned envmap composites over the flat
+    # background in linear space (training semantics, engine/train.py).
+    if envmap is not None:
+        from neus2_tpu.ops.envmap import composite_envmap_background
+
+        bg_srgb = linear_to_srgb(
+            jnp.clip(
+                composite_envmap_background(envmap, dirs, bg[None, :]),
+                0.0,
+                1.0,
+            )
+        )  # (N, 3)
+    else:
+        bg_srgb = jnp.broadcast_to(linear_to_srgb(bg), (w * h, 3))
 
     # Hit-ray compaction: the probe is deterministic (no jitter), so one
     # probe serves every spp pass; only rays crossing occupied space reach
@@ -287,9 +320,11 @@ def render_image(
     if occupancy is not None:
         hit_idx = probe_hit_rays(acc, occupancy, origins, dirs, config)
         o_h, d_h = origins[hit_idx], dirs[hit_idx]
+        bg_h = bg_srgb[hit_idx]
     else:
         hit_idx = None
         o_h, d_h = origins, dirs
+        bg_h = bg_srgb
     m = o_h.shape[0]
 
     rgb_acc = jnp.zeros((m, 3))
@@ -301,7 +336,7 @@ def render_image(
             params, acc, occupancy, o_h, d_h, k, config, jitter=spp > 1
         )
         if mode == "shade":
-            rgb_acc += rgb + (1.0 - opacity)[:, None] * linear_to_srgb(bg)
+            rgb_acc += rgb + (1.0 - opacity)[:, None] * bg_h
         elif mode == "normals":
             rgb_acc += 0.5 * (normal + 1.0) * opacity[:, None]
         elif mode == "depth":
@@ -315,7 +350,7 @@ def render_image(
     if hit_idx is not None:
         # Misses composite to zero + background (exactly what the full
         # render would produce for them).
-        miss_rgb = linear_to_srgb(bg) * spp if mode == "shade" else 0.0
+        miss_rgb = bg_srgb * spp if mode == "shade" else 0.0
         rgb_acc = (
             jnp.zeros((n, 3)) + miss_rgb
         ).at[hit_idx].set(rgb_acc)
@@ -323,5 +358,9 @@ def render_image(
         op_acc = jnp.zeros((n,)).at[hit_idx].set(op_acc)
     rgb_img = (rgb_acc / spp).reshape(h, w, 3)
     if mode == "shade":
+        if exposure != 0.0 or tonemap.lower() != "identity":
+            from neus2_tpu.ops.tonemap import apply_output_tonemap
+
+            rgb_img = apply_output_tonemap(rgb_img, exposure, tonemap)
         rgb_img = jnp.clip(rgb_img, 0.0, 1.0)
     return rgb_img, (depth_acc / spp).reshape(h, w), (op_acc / spp).reshape(h, w)

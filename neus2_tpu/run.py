@@ -431,6 +431,7 @@ def screenshot(tb, transforms: str, out_dir, spp: int, frames, log):
             tb.state.ema_params, tb.effective_acc, tb.state.occupancy, cams,
             cams.poses[i], cams.focal[i], cams.principal[i],
             jax.random.PRNGKey(i), cfg, background=0.0, spp=spp,
+            **tb._render_extras(),
         )
         fp = out_dir / f"{i:04d}.png"
         imageio.imwrite(
@@ -485,6 +486,7 @@ def evaluate(
             background=0.0,
             spp=spp,
             resolution=(w_i, h_i),
+            **tb._render_extras(),
         )
         target = srgb_eval_target(images[i][:h_i, :w_i])
         p = float(psnr_fn(rgb, target))
@@ -567,6 +569,7 @@ def render_camera_path(
             tb.state.ema_params, tb.effective_acc, tb.state.occupancy,
             cams, cams.poses[0], cams.focal[0], cams.principal[0],
             jax.random.PRNGKey(k), cfg, background=0.0, spp=spp,
+            **tb._render_extras(),
         )
         frame = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
         fp = out_dir / f"frame_{k:04d}.png"
@@ -611,6 +614,7 @@ def _make_per_frame_eval(log):
             tb.state.ema_params, tb.effective_acc, tb.state.occupancy, cams,
             cams.poses[0], cams.focal[0], cams.principal[0],
             jax.random.PRNGKey(0), cfg, background=0.0, spp=1,
+            **tb._render_extras(),
         )
         target = srgb_eval_target(tb.images[0])
         log(f"frame {frame_idx} view-0 PSNR: {float(psnr_fn(rgb, target)):.2f} dB")

@@ -244,3 +244,58 @@ def test_scene_registry_renders():
         # Foreground pixels carry non-degenerate texture.
         fg = ds.images[ds.images[..., 3] > 0][:, :3]
         assert fg.std() > 0.05, name
+
+
+def test_testbed_render_honors_envmap_and_tonemap():
+    """Product-path check: Testbed.render of an envmap-enabled model
+    backgrounds miss pixels with the learned envmap (VERDICT r2 missing #1)
+    and honors the exposure/tonemap output controls."""
+    from neus2_tpu.api.testbed import Hyperparams, Testbed
+    from neus2_tpu.data.synthetic import make_sphere_dataset
+    from neus2_tpu.engine.train import TrainConfig
+    from neus2_tpu.models.field import FieldConfig
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+    from neus2_tpu.ops.losses import linear_to_srgb
+
+    cfg = TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(n_levels=3, log2_hashmap_size=10,
+                                base_resolution=8, per_level_scale=1.5),
+            sdf_hidden_dim=16, rgb_hidden_dim=16,
+        ),
+        n_rays=32, samples_per_ray=8, n_candidates=16, occ_n_probe=1 << 9,
+        use_envmap=True,
+    )
+    tb = Testbed(config=cfg, hyper=Hyperparams(first_frame_max_training_step=2))
+    tb.load_training_data_from_datasets(
+        [make_sphere_dataset(n_views=2, resolution=24)]
+    )
+    tb.train()
+    # Paint the learned envmap a distinctive opaque green, and empty the
+    # occupancy grid so every ray misses — the render must then show the
+    # learned background everywhere.
+    from neus2_tpu.engine import occupancy as occ_mod
+
+    env = jnp.zeros_like(tb.state.cam["envmap"])
+    env = env.at[..., 1].set(0.25).at[..., 3].set(1.0)
+    tb.state = tb.state._replace(
+        cam={**tb.state.cam, "envmap": env},
+        occupancy=occ_mod.reset_density(tb.state.occupancy),
+    )
+    rgb, depth, alpha = tb.render(0, spp=1, background=0.0)
+    miss = np.asarray(alpha).ravel() == 0.0
+    assert miss.any()
+    g = float(linear_to_srgb(jnp.asarray(0.25)))
+    np.testing.assert_allclose(
+        np.asarray(rgb).reshape(-1, 3)[miss],
+        np.broadcast_to([0.0, g, 0.0], (miss.sum(), 3)),
+        atol=1e-6,
+    )
+    # Exposure raises rendered brightness through the same product call.
+    tb.exposure = 2.0
+    rgb2, _, _ = tb.render(0, spp=1, background=0.0)
+    assert np.asarray(rgb2).mean() > np.asarray(rgb).mean()
+    tb.exposure = 0.0
+    tb.tonemap_curve = "ACES"
+    rgb3, _, _ = tb.render(0, spp=1, background=0.0)
+    assert np.isfinite(np.asarray(rgb3)).all()

@@ -133,3 +133,90 @@ def test_compact_render_exact_with_jitter(setup):
             assert float(jnp.abs(jnp.asarray(f)[miss]).max()) == 0.0
         # and hit rays render nonzero somewhere (the probe is not vacuous)
         assert float(jnp.abs(jnp.asarray(full[2])[hit]).max()) > 0.0
+
+
+def test_render_image_envmap_background(setup):
+    """An envmap-trained model's eval render must reproduce the learned
+    background (reference init_rays_from_camera backgrounds render rays with
+    the envmap, testbed_nerf.cu:2298-2299) — both on probe-miss rays (the
+    compaction fill) and behind semi-transparent hits."""
+    cfg, cams, state, occ, rcfg, o, d = setup
+    # Opaque constant-color envmap: background' = env.rgb everywhere.
+    env = jnp.zeros((8, 16, 4)).at[..., 0].set(0.5).at[..., 3].set(1.0)
+    img, depth, alpha = render_image(
+        state.ema_params,
+        state.acc,
+        occ_mod.reset_density(state.occupancy),  # all rays miss
+        cams,
+        cams.poses[0],
+        cams.focal[0],
+        cams.principal[0],
+        jax.random.PRNGKey(1),
+        rcfg,
+        background=0.2,
+        spp=2,
+        envmap=env,
+    )
+    assert float(jnp.abs(alpha).max()) == 0.0
+    expect = np.array([float(linear_to_srgb(jnp.asarray(0.5))), 0.0, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(img), np.broadcast_to(expect, img.shape), atol=1e-6
+    )
+    # With the occupied ball: hit rays composite the envmap behind the
+    # field exactly like the training loss does (bg' per ray).
+    img2, _, alpha2 = render_image(
+        state.ema_params, state.acc, occ, cams,
+        cams.poses[0], cams.focal[0], cams.principal[0],
+        jax.random.PRNGKey(1), rcfg, background=0.2, spp=1, envmap=env,
+    )
+    a2 = np.asarray(alpha2).ravel()
+    i2 = np.asarray(img2).reshape(-1, 3)
+    miss = a2 == 0.0
+    np.testing.assert_allclose(
+        i2[miss], np.broadcast_to(expect, i2[miss].shape), atol=1e-6
+    )
+
+
+def test_render_image_learned_distortion(setup):
+    """The learned distortion grid must warp render-time ray generation
+    exactly as training ray-gen does (testbed_nerf.cu:2208-2331): a zero
+    grid is a no-op, a nonzero grid moves the silhouette."""
+    from neus2_tpu.ops.envmap import init_distortion
+
+    cfg, cams, state, occ, rcfg, o, d = setup
+
+    def alpha_img(dist):
+        _, _, a = render_image(
+            state.ema_params, state.acc, occ, cams,
+            cams.poses[0], cams.focal[0], cams.principal[0],
+            jax.random.PRNGKey(0), rcfg, spp=1, distortion=dist,
+        )
+        return np.asarray(a)
+
+    base = alpha_img(None)
+    zero = alpha_img(init_distortion((8, 8)))
+    np.testing.assert_array_equal(base, zero)
+    shifted = alpha_img(init_distortion((8, 8)) + jnp.array([0.06, 0.0]))
+    assert not np.allclose(base, shifted)
+
+
+def test_render_image_exposure_tonemap(setup):
+    """Render-buffer output controls (render_buffer.cu:313-332): exposure
+    scales linear radiance before the curve; identity+0 is a no-op."""
+    cfg, cams, state, occ, rcfg, o, d = setup
+    common = dict(background=0.1, spp=1)
+    args = (
+        state.ema_params, state.acc, occ, cams,
+        cams.poses[0], cams.focal[0], cams.principal[0],
+        jax.random.PRNGKey(2), rcfg,
+    )
+    base, _, _ = render_image(*args, **common)
+    same, _, _ = render_image(*args, **common, exposure=0.0, tonemap="identity")
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    brighter, _, _ = render_image(*args, **common, exposure=1.0)
+    b0, b1 = np.asarray(base), np.asarray(brighter)
+    assert (b1 >= b0 - 1e-6).all() and b1.mean() > b0.mean()
+    for curve in ("aces", "hable", "reinhard"):
+        t, _, _ = render_image(*args, **common, tonemap=curve)
+        t = np.asarray(t)
+        assert np.isfinite(t).all() and t.min() >= 0.0 and t.max() <= 1.0
