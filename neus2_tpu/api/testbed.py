@@ -1200,6 +1200,10 @@ class Testbed:
 
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
+        if isinstance(payload, dict) and "snapshot" in payload:
+            # Reference-format (instant-ngp/NeuS2) msgpack snapshot
+            # (testbed.cu:3197-3254) — route to the interop shim.
+            return self.load_reference_snapshot(path)
         if self.state is None:
             self.state = init_train_state(
                 jax.random.PRNGKey(self.seed), self.config,
@@ -1244,6 +1248,51 @@ class Testbed:
         meta = payload.get("meta", {})
         self.training_step = int(meta.get("training_step", 0))
         self.current_training_time_frame = int(meta.get("frame", 0))
+        self._restore_phase_flags()
+
+    def load_reference_snapshot(self, path: str | Path):
+        """Load a reference-format msgpack snapshot (api/ngp_snapshot.py):
+        params into both params and ema_params (the reference serializes the
+        EMA'd inference params, trainer.h:281-292), the morton-decoded
+        density grid into the occupancy state, and the accumulated global
+        movement.  Optimizer state starts fresh."""
+        from neus2_tpu.api.ngp_snapshot import load_reference_snapshot
+        from neus2_tpu.engine import occupancy as occ_mod
+
+        out = load_reference_snapshot(path, self.config.field)
+        if self.state is None:
+            self.state = init_train_state(
+                jax.random.PRNGKey(self.seed), self.config,
+                self.dataset.n_images if self.dataset else 1,
+            )
+        params = jax.tree_util.tree_map(
+            lambda t, r: jnp.asarray(r).astype(t.dtype),
+            self.state.params,
+            out["params"],
+        )
+        changes = {"params": params, "ema_params": params}
+        grid = out["density_grid"]
+        if grid is not None:
+            occ = self.state.occupancy
+            if grid.shape == occ.density.shape:
+                changes["occupancy"] = occ_mod.update_bitfield(
+                    occ._replace(density=jnp.asarray(grid))
+                )
+            else:
+                print(
+                    f"load_reference_snapshot: density grid {grid.shape} "
+                    f"does not match the configured occupancy "
+                    f"{occ.density.shape}; keeping the current grid"
+                )
+        if out["acc"] is not None:
+            changes["acc"] = jax.tree_util.tree_map(
+                lambda t, r: jnp.asarray(r).astype(t.dtype),
+                self.state.acc,
+                out["acc"],
+            )
+        self.state = self.state._replace(**changes)
+        self.training_step = out["training_step"]
+        self.loss_scalar = out["loss"]
         self._restore_phase_flags()
 
     def _restore_phase_flags(self):
