@@ -80,6 +80,10 @@ class TrainConfig:
     samples_per_ray: int = 64
     adaptive_batch: bool = True
     min_samples_per_ray: int = 16
+    # Bucket-b is allowed when (samples_per_ray >> b) still covers this
+    # fraction of the reference-equivalent marching density
+    # (occ_len / STEPSIZE samples per ray).  See desired_batch_bucket.
+    adaptive_samples_factor: float = 0.75
     n_candidates: int = 192  # coarse occupancy-probe intervals per ray
     aabb_scale: int = 1
     near: float = 0.0
@@ -249,7 +253,7 @@ def desired_batch_bucket(occ_len_ema: float, config: TrainConfig) -> int:
     benchmark's converged operating point is the production formula."""
     from neus2_tpu.constants import STEPSIZE
 
-    s_needed = 0.75 * occ_len_ema / STEPSIZE
+    s_needed = config.adaptive_samples_factor * occ_len_ema / STEPSIZE
     s0 = config.samples_per_ray
     b = 0
     while (

@@ -168,8 +168,12 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
                 vals = jnp.take(rolled, idx, axis=0)  # (N,8,F)
             w, dw, _, _ = _weights_and_grads(frac, scales[l])
             gate = _level_gate(l, valid_level, max_level, positions.dtype, n)
-            feat = jnp.einsum("nc,ncf->nf", w, vals) * gate
-            jac = jnp.einsum("ncj,ncf->njf", dw, vals) * gate[:, None, :]
+            # Broadcast-multiply-reduce, NOT einsum: XLA lowers the (N,8,F)
+            # batched contraction to per-sample dot_generals that run ~1.7x
+            # slower on v5e (measured 2.29 vs 1.38 ms/level at flagship
+            # scale, tools_probe_micro.py) — ~13 ms/step across 14 levels.
+            feat = (w[..., None] * vals).sum(1) * gate
+            jac = (dw[..., None] * vals[:, :, None, :]).sum(1) * gate[:, None, :]
             feats.append(feat)
             jacs.append(jac)
             residuals.append((idx, vals, frac, gate))

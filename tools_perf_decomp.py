@@ -22,7 +22,19 @@ from bench import _setup, flagship_config
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "step"
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    bucket = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    import dataclasses
+
     config = flagship_config()
+    if bucket:
+        # Bucket-b batch geometry: rays <<= b, samples >>= b (the converged
+        # adaptive regime) — per-ray stages (march, composite) scale with it.
+        config = dataclasses.replace(
+            config,
+            n_rays=config.n_rays << bucket,
+            samples_per_ray=config.samples_per_ray >> bucket,
+        )
+        mode = f"{mode}"
     state, images, cameras = _setup(config)
 
     from neus2_tpu.engine.march import march_rays
