@@ -157,9 +157,15 @@ def _bench_converged(
     _note("converged occupancy re-sweep (80 updates)")
     for _ in range(80):  # full round-robin sweep at converged sharpness
         state = occupancy_update(state, config)
-    state, aux = train_step(state, images, cameras, config)
-    occ_len = float(aux.mean_occ_len)
-    _note(f"occ_len {occ_len:.4f}")
+    # Average the bucket-driving occ_len over a few steps: per-batch noise
+    # is +-3% (PERF.md round-3 characterization) — one read is already
+    # safely inside a bucket, four make it deterministic.
+    occs = []
+    for _ in range(4):
+        state, aux = train_step(state, images, cameras, config)
+        occs.append(float(aux.mean_occ_len))
+    occ_len = sum(occs) / len(occs)
+    _note(f"occ_len {occ_len:.4f} (4-step mean)")
 
     from neus2_tpu.engine.train import desired_batch_bucket
 

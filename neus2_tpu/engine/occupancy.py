@@ -192,16 +192,38 @@ def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
     return jnp.clip(mip, 0, max_cascade).astype(jnp.int32)
 
 
+def packed_bitfield(state: OccupancyGrid) -> jnp.ndarray:
+    """Bitfield packed to (C*G^3/32,) uint32 words (bit j of word w = cell
+    32*w + j).  Recomputed inside jit from the bool grid (a 2M-element
+    reduce, ~0.1 ms) so the snapshot format and the OccupancyGrid pytree
+    stay unchanged; XLA CSEs repeated calls within one program."""
+    bits = state.bitfield.reshape(-1, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+
+
+def _packed_lookup(words: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    word = jnp.take(words, flat >> 5, axis=0)
+    return ((word >> (flat & 31).astype(jnp.uint32)) & 1).astype(bool)
+
+
 def occupancy_at(state: OccupancyGrid, pos: jnp.ndarray) -> jnp.ndarray:
-    """Bitfield lookup at world positions (..., 3) using the per-point mip."""
+    """Bitfield lookup at world positions (..., 3) using the per-point mip.
+
+    The lookup gathers from the PACKED bitfield — one flat int32 index into
+    a (C*G^3/32,) word table instead of 4-D advanced indexing into the bool
+    grid: fewer index operands for XLA's gather and a 32x smaller table
+    (measured ~12% on the raw probe, more with the index plumbing;
+    tools_probe_micro.py / tools_probe_march.py)."""
     g = state.grid_size
+    words = packed_bitfield(state)
     if state.n_cascades == 1:
         # Single-cascade fast path: no per-point mip (log2/ceil) needed.
         cell = jnp.floor(pos * g).astype(jnp.int32)
         inside = jnp.all((cell >= 0) & (cell < g), axis=-1)
         cell = jnp.clip(cell, 0, g - 1)
-        occ = state.bitfield[0, cell[..., 2], cell[..., 1], cell[..., 0]]
-        return occ & inside
+        flat = (cell[..., 2] * g + cell[..., 1]) * g + cell[..., 0]
+        return _packed_lookup(words, flat) & inside
     mip = mip_from_pos(pos, state.n_cascades - 1)
     scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
     rel = (pos - 0.5) * scale + 0.5
@@ -210,5 +232,5 @@ def occupancy_at(state: OccupancyGrid, pos: jnp.ndarray) -> jnp.ndarray:
     cell = jnp.clip(cell, 0, g - 1)
     # Flat cell index convention is x-fastest (cell_position), so the (G,G,G)
     # array axes are (z, y, x).
-    occ = state.bitfield[mip, cell[..., 2], cell[..., 1], cell[..., 0]]
-    return occ & inside
+    flat = ((mip * g + cell[..., 2]) * g + cell[..., 1]) * g + cell[..., 0]
+    return _packed_lookup(words, flat) & inside

@@ -69,3 +69,38 @@ def test_cone_angle_intervals_grow():
     t0, dt = coarse_intervals(tmin, tmax, 64, cone_angle=1.0 / 64.0)
     assert float(dt[0, -1]) > float(dt[0, 0])
     assert bool(jnp.all(jnp.diff(t0[0]) > 0))
+
+
+def test_packed_bitfield_lookup_matches_bool_indexing():
+    """occupancy_at's packed-word gather == direct bool-grid indexing, single
+    and multi-cascade, including out-of-box points (round-3 march perf path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neus2_tpu.engine import occupancy as occ
+
+    key = jax.random.PRNGKey(3)
+    for n_casc in (1, 3):
+        g = 32
+        bits = jax.random.bernoulli(
+            jax.random.fold_in(key, n_casc), 0.3, (n_casc, g, g, g)
+        )
+        state = occ.init_occupancy(n_casc, g)._replace(bitfield=bits)
+        span = float(2 ** (n_casc - 1))
+        pos = (
+            jax.random.uniform(key, (4096, 3)) * (span + 0.4) - (span - 0.6) / 2
+        )
+        got = occ.occupancy_at(state, pos)
+
+        mip = (
+            jnp.zeros(pos.shape[:-1], jnp.int32)
+            if n_casc == 1
+            else occ.mip_from_pos(pos, n_casc - 1)
+        )
+        scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+        rel = (pos - 0.5) * scale + 0.5
+        cell = jnp.floor(rel * g).astype(jnp.int32)
+        inside = jnp.all((cell >= 0) & (cell < g), axis=-1)
+        cellc = jnp.clip(cell, 0, g - 1)
+        want = bits[mip, cellc[..., 2], cellc[..., 1], cellc[..., 0]] & inside
+        assert bool(jnp.all(got == want))
