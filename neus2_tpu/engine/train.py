@@ -83,7 +83,14 @@ class TrainConfig:
     # Bucket-b is allowed when (samples_per_ray >> b) still covers this
     # fraction of the reference-equivalent marching density
     # (occ_len / STEPSIZE samples per ray).  See desired_batch_bucket.
-    adaptive_samples_factor: float = 0.75
+    # Default 0.45, set by measured quality evidence (PERF.md round 3):
+    # trading samples for rays at constant budget is quality-POSITIVE on
+    # held-out PSNR/SSIM and shell |SDF| — full-run A/B (factor 0.45 beats
+    # 0.75 by +0.38 dB / -26% |SDF|) and a bucket-geometry continuation
+    # (16384x16 beats 4096x64 by +2.8 dB at equal steps from the same
+    # state) — consistent with the reference's own rays/batch auto-tune,
+    # which never holds sampling headroom (testbed_nerf.cu:3434-3435).
+    adaptive_samples_factor: float = 0.45
     n_candidates: int = 192  # coarse occupancy-probe intervals per ray
     aabb_scale: int = 1
     near: float = 0.0
