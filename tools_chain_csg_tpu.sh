@@ -16,9 +16,13 @@ except Exception: print(0)" "$1"
 
 TARGET=15000
 JSONF=/tmp/tpu_validate_csg_48v_256.json
-for i in $(seq 1 60); do
+# Chunk geometry: ~130 s startup (snapshot load + cached-compile checks) +
+# CSG_BUDGET_S of training + ~120 s snapshot save/fetch over the tunnel.
+# The timeout must cover all three or the save is killed and the chunk's
+# training is lost (observed: 580 s chunks never persisted).
+for i in $(seq 1 20); do
   [ "$(json_steps "$JSONF")" -ge "$TARGET" ] && break
-  env CSG_VIEWS=48 CSG_ERROR_MAP=1 timeout 580 \
+  env CSG_VIEWS=48 CSG_ERROR_MAP=1 CSG_BUDGET_S=700 timeout 1100 \
     python -u tools_tpu_validate_csg.py "$TARGET" >> "$LOG" 2>&1
   echo "exit $? chunk $i" >> "$LOG"
   sleep 2
