@@ -515,3 +515,27 @@ def test_mesh_export_crop_box(static_testbed, tmp_path):
     assert (verts[:, 0] >= 0.5 - 1e-3).all() and (verts[:, 0] <= 0.9 + 1e-3).all()
     radii = np.linalg.norm(verts - 0.5, axis=-1)
     assert 0.15 < float(np.median(radii)) < 0.45
+
+
+def test_bucket_factor_at_measured_operating_points():
+    """Pin desired_batch_bucket at the MEASURED converged occ_len values
+    (PERF.md round-3 characterization): with the quality-backed default
+    factor 0.45 the converged sphere scene (occ_len 0.043-0.054) selects
+    bucket 2; the old 0.75 factor would have held it at bucket 1."""
+    import dataclasses
+
+    from neus2_tpu.engine.train import desired_batch_bucket
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, n_rays=4096, samples_per_ray=64)
+    assert cfg.adaptive_samples_factor == 0.45  # quality-backed default
+    for occ in (0.0436, 0.0543):  # measured converged operating points
+        assert desired_batch_bucket(occ, cfg) == 2
+        assert (
+            desired_batch_bucket(
+                occ, dataclasses.replace(cfg, adaptive_samples_factor=0.75)
+            )
+            == 1
+        )
+    # min_samples_per_ray still caps the trade (never below 16 samples).
+    assert desired_batch_bucket(1e-4, cfg) == 2
