@@ -140,7 +140,10 @@ def pixel_to_ray(
         )
         xy = jnp.stack([x, y], axis=-1)
     dir_cam = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
-    direction = jnp.einsum("bij,bj->bi", poses[..., :3], dir_cam)
+    # Broadcast-multiply-reduce, NOT einsum: XLA:TPU lowers per-sample (3,3)
+    # contractions to serial dot_generals that also block fusion (PERF.md
+    # round-3 probe — same rule as the encoder's fwd contractions).
+    direction = jnp.sum(poses[..., :3] * dir_cam[..., None, :], axis=-1)
     direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
     origin = poses[..., 3]
     return origin, direction
