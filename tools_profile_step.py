@@ -3,6 +3,12 @@
 Usage: python tools_profile_step.py [bucket] [n_steps]
 Traces n_steps compiled steps under jax.profiler and prints the top ops by
 self time (device), via tensorboard_plugin_profile's xplane converter.
+State construction: bench._setup (dataset + prior occupancy sweep) with the
+bucket's batch shapes — i.e. "bucket-N shapes on a prior-swept state", NOT
+the bench's fully-constructed converged point (48 warm steps + converged
+variance + occupancy re-sweep).  Shapes match, so op timings are
+representative; occupancy-dependent behavior (occ_len, probe hit rates)
+differs from the true converged state.
 Reading the ranking: ray-proportional ops scale with the bucket's ray count
 (16384 at bucket 2); sample-proportional ops are constant across buckets
 (PERF.md round-3 fit: ~43 ms/4096 rays vs ~217 ms sample-bound).
@@ -10,7 +16,6 @@ Reading the ranking: ray-proportional ops scale with the bucket's ray count
 
 import dataclasses
 import glob
-import json
 import sys
 import time
 
