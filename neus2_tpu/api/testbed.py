@@ -242,6 +242,7 @@ class Testbed:
         self.loss_scalar = float("nan")
         self.ek_loss_scalar = float("nan")
         self.mask_loss_scalar = float("nan")
+        self.last_aux = None  # most recent host-fetched StepAux (16-step cadence)
         # Adaptive (rays, samples) bucket state (testbed_nerf.cu:3434-3435
         # analog): bucket b trains with (n_rays*2^b, samples/2^b).
         self.batch_bucket = 0
@@ -719,6 +720,7 @@ class Testbed:
         self.training_step += 1
         if self.training_step % 16 == 0 or self.training_step == 1:
             a = jax.device_get(aux)
+            self.last_aux = a
             self.loss_scalar = float(a.loss)
             self.ek_loss_scalar = float(a.ek_loss)
             self.mask_loss_scalar = float(a.mask_loss)

@@ -83,6 +83,30 @@ class NerfDataset:
     def resolution(self) -> tuple[int, int]:
         return self.images.shape[2], self.images.shape[1]  # (W, H)
 
+    def subset(self, sl: "slice | list[int]") -> "NerfDataset":
+        """Dataset restricted to a slice/list of image indices (train/eval
+        splits — the reference's n_training_images culling analog)."""
+        import dataclasses
+
+        def cut(a):
+            return None if a is None else a[sl]
+
+        return dataclasses.replace(
+            self,
+            images=self.images[sl],
+            poses=self.poses[sl],
+            focal=self.focal[sl],
+            principal=self.principal[sl],
+            paths=tuple(np.asarray(self.paths, object)[sl])
+            if self.paths
+            else (),
+            depths=cut(self.depths),
+            rolling_shutter=cut(self.rolling_shutter),
+            poses_end=cut(self.poses_end),
+            rays=cut(self.rays),
+            sizes=cut(self.sizes),
+        )
+
     def cameras(self) -> Cameras:
         import jax.numpy as jnp
 

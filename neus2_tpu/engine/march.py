@@ -110,6 +110,108 @@ def march_probe(
     return jnp.sum(jnp.where(valid_c, dt_c, 0.0), axis=-1)
 
 
+class CandidateProbe(NamedTuple):
+    """Per-ray coarse occupancy probe (the march without sample draws)."""
+
+    t0: jnp.ndarray  # (R, C) candidate interval starts
+    seg: jnp.ndarray  # (R, C) occupied interval lengths (0 where unoccupied)
+    total: jnp.ndarray  # (R,) total occupied length
+    hit: jnp.ndarray  # (R,) bool: ray enters the AABB AND has occupied length
+
+
+def probe_candidates(
+    key: jax.Array | None,
+    origins: jnp.ndarray,  # (R, 3)
+    directions: jnp.ndarray,  # (R, 3) unit
+    aabb: AABB,
+    occupancy: OccupancyGrid | None,
+    n_candidates: int,
+    cone_angle: float = 0.0,
+    near: float = 0.0,
+    probe_jitter: bool = True,
+) -> CandidateProbe:
+    """Probe ``n_candidates`` coarse intervals against the occupancy bitfield.
+
+    Probe point within each candidate interval: jittered during training so
+    intervals wider than an occupancy cell (exponential spacing in large
+    scenes) still hit a thin occupied shell in expectation; deterministic
+    midpoint (``probe_jitter=False``) for rendering.
+
+    The result feeds ``draw_from_probe`` — and the training batch's hit-ray
+    compaction (engine/train.py): probing ``oversample * R`` candidate rays
+    once and drawing samples only for rays with ``hit`` is the fixed-shape
+    analog of the reference's rays-per-batch auto-tune, which fills its 2^18
+    compacted sample budget with contributing samples only
+    (testbed_nerf.cu:3434-3435, 3922-3930)."""
+    tmin, tmax = aabb.ray_intersect(origins, directions)
+    tmin = jnp.maximum(tmin, near)
+    enters = tmin < tmax
+
+    t0, dt_c = coarse_intervals(tmin, tmax, n_candidates, cone_angle)  # (R, C)
+    if probe_jitter:
+        assert key is not None
+        u_c = jax.random.uniform(key, t0.shape)
+    else:
+        u_c = 0.5
+    mid = t0 + u_c * dt_c
+    valid_c = (mid < tmax[:, None]) & enters[:, None]
+    if occupancy is not None:
+        pos_c = origins[:, None, :] + mid[..., None] * directions[:, None, :]
+        valid_c &= occupancy_at(occupancy, pos_c)
+
+    seg = jnp.where(valid_c, dt_c, 0.0)
+    total = jnp.sum(seg, axis=-1)
+    return CandidateProbe(
+        t0=t0, seg=seg, total=total, hit=(total > 0.0) & enters
+    )
+
+
+def draw_from_probe(
+    key: jax.Array,
+    probe: CandidateProbe,
+    origins: jnp.ndarray,  # (R, 3)
+    directions: jnp.ndarray,  # (R, 3) unit
+    budget: int,
+    jitter: bool = True,
+) -> MarchedSamples:
+    """Draw exactly ``budget`` stratified samples per ray from the probe's
+    occupied-length inverse CDF."""
+    R = origins.shape[0]
+    n_candidates = probe.t0.shape[1]
+    cum = jnp.cumsum(probe.seg, axis=-1)  # (R, C) occupied length prefix
+    total = probe.total
+
+    # Stratified inverse-CDF draws over the occupied length.
+    if jitter:
+        xi = jax.random.uniform(key, (R, budget))
+    else:
+        xi = jnp.full((R, budget), 0.5)
+    frac = (jnp.arange(budget, dtype=jnp.float32)[None, :] + xi) / budget
+    # Clamp strictly below total: f32 rounding can give frac*total == total
+    # for the top stratum, which would select past the last valid candidate.
+    u = jnp.minimum(frac * total[:, None], total[:, None] * (1.0 - 1e-7))
+
+    # Inverse CDF via a fused comparison-sum (equivalent to per-ray
+    # searchsorted side="right", but one vectorized reduce instead of a
+    # sequential binary-search loop of gathers — faster on TPU).
+    idx = jnp.sum(
+        (cum[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    idx = jnp.minimum(idx, n_candidates - 1)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
+    cum_before = take(cum) - take(probe.seg)
+    # Position inside the chosen occupied interval, exact inverse CDF
+    # (clipped to the interval so rounding never places t past its end).
+    t = take(probe.t0) + jnp.clip(u - cum_before, 0.0, take(probe.seg))
+    dt = jnp.maximum(total[:, None] / budget, 1e-10)
+    dt = jnp.broadcast_to(dt, t.shape)
+    mask = jnp.broadcast_to(probe.hit[:, None], t.shape)
+
+    pos = origins[:, None, :] + t[..., None] * directions[:, None, :]
+    n_valid = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    return MarchedSamples(t=t, dt=dt, positions=pos, mask=mask, n_valid=n_valid)
+
+
 def march_rays(
     key: jax.Array,
     origins: jnp.ndarray,  # (R, 3)
@@ -131,59 +233,13 @@ def march_rays(
     the valid-candidate set is the deterministic-midpoint one that
     ``march_probe`` computes — hit-ray compaction is then exact even for
     jittered multi-spp renders."""
-    R = origins.shape[0]
-    tmin, tmax = aabb.ray_intersect(origins, directions)
-    tmin = jnp.maximum(tmin, near)
-    hit = tmin < tmax
-
-    t0, dt_c = coarse_intervals(tmin, tmax, n_candidates, cone_angle)  # (R, C)
-    # Probe point within each candidate interval: jittered during training so
-    # intervals wider than an occupancy cell (exponential spacing in large
-    # scenes) still hit a thin occupied shell in expectation; deterministic
-    # midpoint for rendering.
     if probe_jitter is None:
         probe_jitter = jitter
+    k_probe = None
     if probe_jitter:
         key, k_probe = jax.random.split(key)
-        u_c = jax.random.uniform(k_probe, t0.shape)
-    else:
-        u_c = 0.5
-    mid = t0 + u_c * dt_c
-    pos_c = origins[:, None, :] + mid[..., None] * directions[:, None, :]
-    valid_c = (mid < tmax[:, None]) & hit[:, None]
-    if occupancy is not None:
-        valid_c &= occupancy_at(occupancy, pos_c)
-
-    seg = jnp.where(valid_c, dt_c, 0.0)
-    cum = jnp.cumsum(seg, axis=-1)  # (R, C) occupied length up to candidate i
-    total = cum[:, -1]  # (R,)
-
-    # Stratified inverse-CDF draws over the occupied length.
-    if jitter:
-        xi = jax.random.uniform(key, (R, budget))
-    else:
-        xi = jnp.full((R, budget), 0.5)
-    frac = (jnp.arange(budget, dtype=jnp.float32)[None, :] + xi) / budget
-    # Clamp strictly below total: f32 rounding can give frac*total == total
-    # for the top stratum, which would select past the last valid candidate.
-    u = jnp.minimum(frac * total[:, None], total[:, None] * (1.0 - 1e-7))
-
-    # Inverse CDF via a fused comparison-sum (equivalent to per-ray
-    # searchsorted side="right", but one vectorized reduce instead of a
-    # sequential binary-search loop of gathers — faster on TPU).
-    idx = jnp.sum(
-        (cum[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    probe = probe_candidates(
+        k_probe, origins, directions, aabb, occupancy, n_candidates,
+        cone_angle=cone_angle, near=near, probe_jitter=probe_jitter,
     )
-    idx = jnp.minimum(idx, n_candidates - 1)
-    take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
-    cum_before = take(cum) - take(seg)
-    # Position inside the chosen occupied interval, exact inverse CDF
-    # (clipped to the interval so rounding never places t past its end).
-    t = take(t0) + jnp.clip(u - cum_before, 0.0, take(seg))
-    dt = jnp.maximum(total[:, None] / budget, 1e-10)
-    dt = jnp.broadcast_to(dt, t.shape)
-    mask = jnp.broadcast_to(((total > 0.0) & hit)[:, None], t.shape)
-
-    pos = origins[:, None, :] + t[..., None] * directions[:, None, :]
-    n_valid = jnp.sum(mask, axis=-1).astype(jnp.int32)
-    return MarchedSamples(t=t, dt=dt, positions=pos, mask=mask, n_valid=n_valid)
+    return draw_from_probe(key, probe, origins, directions, budget, jitter)

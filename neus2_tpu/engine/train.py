@@ -45,7 +45,13 @@ import optax
 from neus2_tpu.constants import TRAIN_TRANSMITTANCE_EPS
 from neus2_tpu.engine import error_map as emap
 from neus2_tpu.engine import occupancy as occ
-from neus2_tpu.engine.march import cone_angle_for_scene, march_rays
+from neus2_tpu.engine.march import (
+    CandidateProbe,
+    cone_angle_for_scene,
+    draw_from_probe,
+    march_rays,
+    probe_candidates,
+)
 from neus2_tpu.engine.rays import Cameras, rays_from_pixels
 from neus2_tpu.models import delta as delta_mod
 from neus2_tpu.models.field import FieldConfig, field_forward, init_field, sdf_fn
@@ -139,6 +145,14 @@ class TrainConfig:
     # m_nerf.cone_angle_constant = 1/256, testbed_nerf.cu:58; settable via
     # testbed.nerf.cone_angle_constant, python_api.cu).
     cone_angle_constant: float = 1.0 / 256.0
+    # Hit-ray batch compaction: probe hit_oversample*n_rays candidate pixels
+    # with the cheap occupancy march and fill the n_rays field-evaluation
+    # slots with HITTING rays (misses' rgb/mask losses are field-independent
+    # constants, still counted + deposited to the error map).  The
+    # fixed-shape analog of the reference's rays/batch auto-tune, which
+    # grows rays until compacted *contributing* samples fill the 2^18
+    # budget (testbed_nerf.cu:3434-3435, 3922-3930).  1 = off.
+    hit_oversample: int = 1
 
     @property
     def cone_angle(self) -> float:
@@ -332,13 +346,18 @@ def _forward_loss(
     R, S = config.n_rays, config.samples_per_ray
 
     # --- ray selection: uniform or error-map CDF --------------------------
+    # With hit_oversample > 1, C > R candidate pixels are drawn and the R
+    # field-evaluation slots are filled with occupancy-HITTING rays (probed
+    # once, below); the rejected candidates are all misses whose losses are
+    # field-independent constants, counted analytically after compositing.
+    C = R * config.hit_oversample
     n_images = cameras.poses.shape[0]
     if config.use_error_map:
-        img_idx, uv0 = emap.sample_pixels(state.error_map, k_pix, R, n_images)
+        img_idx, uv0 = emap.sample_pixels(state.error_map, k_pix, C, n_images)
     else:
         k_img, k_uv = jax.random.split(k_pix)
-        img_idx = jax.random.randint(k_img, (R,), 0, n_images)
-        uv0 = jax.random.uniform(k_uv, (R, 2))
+        img_idx = jax.random.randint(k_img, (C,), 0, n_images)
+        uv0 = jax.random.uniform(k_uv, (C, 2))
     cams_adj = adjusted_cameras(cam, cameras, config)
     origins, dirs, rgba, uv = rays_from_pixels(cams_adj, images, img_idx, uv0)
     if config.use_distortion:
@@ -356,17 +375,53 @@ def _forward_loss(
 
     # Occupancy-masked fixed-shape marching; no gradients flow through
     # sample *placement* (the reference likewise treats t values as data).
-    samples = march_rays(
-        k_march,
-        jax.lax.stop_gradient(origins),
-        jax.lax.stop_gradient(dirs),
-        aabb,
-        state.occupancy,
-        config.n_candidates,
-        S,
-        cone_angle=config.cone_angle,
-        near=config.near,
-    )
+    rest = rest_hit = None
+    all_ray = (img_idx, uv, rgba, dirs)  # candidate-ray quantities (C rows)
+    if config.hit_oversample > 1:
+        k_probe, k_draw = jax.random.split(k_march)
+        probe = probe_candidates(
+            k_probe,
+            jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(dirs),
+            aabb,
+            state.occupancy,
+            config.n_candidates,
+            cone_angle=config.cone_angle,
+            near=config.near,
+            probe_jitter=True,
+        )
+        # Hitting rays first (stable: candidates are already uniformly / CDF
+        # drawn, so the first R hits are an unbiased subset); rejects are the
+        # tail.  If fewer than R candidates hit, the selected set pads with
+        # misses — exactly today's uncompacted behavior for those slots.
+        order = jnp.argsort(jnp.logical_not(probe.hit), stable=True)
+        sel, rest = order[:R], order[R:]
+        take_ray = lambda a: jnp.take(a, sel, axis=0)
+        probe_sel = CandidateProbe(*(take_ray(x) for x in probe))
+        rest_hit = jnp.take(probe.hit, rest)  # over-budget hits: excluded
+        origins, dirs, rgba, uv, img_idx = (
+            take_ray(origins), take_ray(dirs), take_ray(rgba), take_ray(uv),
+            take_ray(img_idx),
+        )
+        samples = draw_from_probe(
+            k_draw,
+            probe_sel,
+            jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(dirs),
+            S,
+        )
+    else:
+        samples = march_rays(
+            k_march,
+            jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(dirs),
+            aabb,
+            state.occupancy,
+            config.n_candidates,
+            S,
+            cone_angle=config.cone_angle,
+            near=config.near,
+        )
     t = jax.lax.stop_gradient(samples.t)
     dt = jax.lax.stop_gradient(samples.dt)
     mask = samples.mask
@@ -413,42 +468,82 @@ def _forward_loss(
     alpha = neus_alpha(sdf_s, normal_s, dirs[:, None, :], dt_w, out.inv_s, anneal)
     comp = composite_rays(rgb_s, alpha, t, mask, TRAIN_TRANSMITTANCE_EPS)
 
+    # Per-CANDIDATE ray quantities (C rows; C == R without compaction).
+    # Background, sRGB target, the 10% random drop of black/masked pixels
+    # (testbed_nerf.cu:1310-12) and the mask ground truth are all
+    # field-independent, so they are computed for every candidate — the
+    # rejected (miss) candidates' losses then need no field evaluation.
+    img_c, uv_c, rgba_c, dirs_c = all_ray
     if config.random_bg:
-        bg = jax.random.uniform(k_bg, (R, 3))
+        bg_c = jax.random.uniform(k_bg, (C, 3))
     else:
-        bg = jnp.zeros((R, 3))
+        bg_c = jnp.zeros((C, 3))
     if config.use_envmap:
         # Composite the learnable envmap behind in linear space
         # (testbed_nerf.cu:1646-1655), then return to sRGB.
         from neus2_tpu.ops.envmap import composite_envmap_background
 
-        bg_lin = L.srgb_to_linear(bg)
-        bg = L.linear_to_srgb(
+        bg_lin = L.srgb_to_linear(bg_c)
+        bg_c = L.linear_to_srgb(
             jnp.clip(
-                composite_envmap_background(cam["envmap"], dirs, bg_lin),
+                composite_envmap_background(cam["envmap"], dirs_c, bg_lin),
                 0.0,
                 1.0,
             )
         )
     # Target in sRGB space from premultiplied-linear texels
     # (testbed_nerf.cu:1669-1677); prediction composites bg behind.
-    texrgb = rgba[:, :3]
+    texrgb_c = rgba_c[:, :3]
     if config.optimize_exposure:
-        texrgb = texrgb * jnp.exp2(cam["exposure"][img_idx])
-    a = rgba[:, 3:4]
-    safe_a = jnp.where(a > 0, a, 1.0)
-    target = jnp.where(
-        a > 0, L.linear_to_srgb(texrgb / safe_a) * a + (1.0 - a) * bg, bg
+        texrgb_c = texrgb_c * jnp.exp2(cam["exposure"][img_c])
+    a_c = rgba_c[:, 3:4]
+    safe_a = jnp.where(a_c > 0, a_c, 1.0)
+    target_c = jnp.where(
+        a_c > 0, L.linear_to_srgb(texrgb_c / safe_a) * a_c + (1.0 - a_c) * bg_c,
+        bg_c,
     )
-    pred = comp.rgb + comp.trans[:, None] * bg
+    drop_c = (rgba_c[:, 0] <= 0.0) & (jax.random.uniform(k_drop, (C,)) >= 0.9)
+    ray_w_c = jnp.where(drop_c, 0.0, 1.0)
+    mask_gt_c = (rgba_c[:, 3] > 0.9999).astype(jnp.float32)
 
-    # 10% random drop of rays on black/masked pixels (testbed_nerf.cu:1310-12).
-    drop = (rgba[:, 0] <= 0.0) & (jax.random.uniform(k_drop, (R,)) >= 0.9)
-    ray_w = jnp.where(drop, 0.0, 1.0)
-    n_live = jnp.maximum(jnp.sum(ray_w), 1.0)
+    if rest is None:
+        bg, target, ray_w, mask_gt = bg_c, target_c, ray_w_c, mask_gt_c
+        n_rest_live = 0.0
+        rest_rgb_sum = rest_mask_sum = rest_mse_sum = 0.0
+        rest_dep_loss = None
+    else:
+        bg, target, ray_w, mask_gt = (
+            jnp.take(x, sel, axis=0)
+            for x in (bg_c, target_c, ray_w_c, mask_gt_c)
+        )
+        # Rejected candidates are misses by construction (their predicted
+        # color is exactly the background: zero weight_sum, transmittance 1)
+        # — unless more than R candidates hit, in which case the over-budget
+        # hits get weight 0: excluded from the batch entirely, as if never
+        # sampled.  Miss losses keep gradients to the cam group (envmap /
+        # exposure) and feed the error-map deposit, like every reference ray.
+        w_rest = jnp.take(ray_w_c, rest) * (1.0 - rest_hit.astype(jnp.float32))
+        target_rest = jnp.take(target_c, rest, axis=0)
+        bg_rest = jnp.take(bg_c, rest, axis=0)
+        rgb_l_rest = L.rgb_loss(
+            target_rest, bg_rest, config.rgb_loss_type
+        ).mean(-1)
+        mask_l_rest = L.mask_bce_loss(
+            jnp.zeros_like(w_rest), jnp.take(mask_gt_c, rest)
+        )
+        n_rest_live = jnp.sum(w_rest)
+        rest_rgb_sum = jnp.sum(rgb_l_rest * w_rest)
+        rest_mask_sum = jnp.sum(mask_l_rest * w_rest)
+        rest_mse_sum = jnp.sum(
+            jnp.mean((bg_rest - target_rest) ** 2, -1) * w_rest
+        )
+        rest_dep_loss = jax.lax.stop_gradient(rgb_l_rest * w_rest)
+
+    pred = comp.rgb + comp.trans[:, None] * bg
+    n_live = jnp.maximum(jnp.sum(ray_w) + n_rest_live, 1.0)
 
     rgb_l = L.rgb_loss(target, pred, config.rgb_loss_type).mean(-1)
-    rgb_loss = jnp.sum(rgb_l * ray_w) / n_live
+    rgb_loss = (jnp.sum(rgb_l * ray_w) + rest_rgb_sum) / n_live
 
     eff = comp.sample_mask & (ray_w[:, None] > 0)
     norm = jnp.sqrt(jnp.sum(normal_s * normal_s, axis=-1) + 1e-6)
@@ -456,9 +551,8 @@ def _forward_loss(
     n_samp = jnp.maximum(jnp.sum(eff), 1.0)
     ek_loss = jnp.sum(ek_res) / n_samp
 
-    mask_gt = (rgba[:, 3] > 0.9999).astype(jnp.float32)
     mask_l = L.mask_bce_loss(comp.weight_sum, mask_gt)
-    mask_loss = jnp.sum(mask_l * ray_w) / n_live
+    mask_loss = (jnp.sum(mask_l * ray_w) + rest_mask_sum) / n_live
 
     depth_loss = 0.0
     if depths is not None and config.depth_supervision_lambda > 0.0:
@@ -484,7 +578,9 @@ def _forward_loss(
         + config.mask_loss_weight * mask_loss
         + config.depth_supervision_lambda * depth_loss
     )
-    mse = jnp.sum(jnp.mean((pred - target) ** 2, -1) * ray_w) / n_live
+    mse = (
+        jnp.sum(jnp.mean((pred - target) ** 2, -1) * ray_w) + rest_mse_sum
+    ) / n_live
     hit_ray = mask.any(axis=-1)
     total_len = jnp.sum(dt, axis=-1) * hit_ray  # dt is total/budget per ray
     aux = StepAux(
@@ -497,9 +593,18 @@ def _forward_loss(
         mean_occ_len=jnp.sum(total_len)
         / jnp.maximum(jnp.sum(hit_ray.astype(jnp.float32)), 1.0),
     )
-    extras = StepExtras(
-        img_idx=img_idx, uv=uv, ray_loss=jax.lax.stop_gradient(rgb_l * ray_w)
-    )
+    dep_loss = jax.lax.stop_gradient(rgb_l * ray_w)
+    if rest is None:
+        extras = StepExtras(img_idx=img_idx, uv=uv, ray_loss=dep_loss)
+    else:
+        # Every candidate deposits to the error map (selected rays first,
+        # then rejects — deposit order is irrelevant); excluded rays carry
+        # weight-0 losses.
+        extras = StepExtras(
+            img_idx=jnp.concatenate([img_idx, jnp.take(img_c, rest)]),
+            uv=jnp.concatenate([uv, jnp.take(uv_c, rest, axis=0)]),
+            ray_loss=jnp.concatenate([dep_loss, rest_dep_loss]),
+        )
     return total, (aux, extras)
 
 

@@ -83,6 +83,10 @@ def parse_args(argv=None):
     p.add_argument("--render_n_frames", type=int, default=60)
     p.add_argument("--n_rays", type=int, default=None)
     p.add_argument("--samples_per_ray", type=int, default=None)
+    p.add_argument("--hit_oversample", type=int, default=None,
+                   help="probe N*n_rays candidate pixels and fill the batch "
+                        "with occupancy-hitting rays (reference compacted-"
+                        "batch semantics, testbed_nerf.cu:3434); 1 = off")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MLP compute (fp32 accumulation + master params)")
     p.add_argument("--near_distance", type=float, default=None,
@@ -173,6 +177,8 @@ def main(argv=None):
         changes["n_rays"] = args.n_rays
     if args.samples_per_ray:
         changes["samples_per_ray"] = args.samples_per_ray
+    if args.hit_oversample:
+        changes["hit_oversample"] = args.hit_oversample
     if args.depth_supervision_lambda is not None:
         changes["depth_supervision_lambda"] = args.depth_supervision_lambda
     if args.near_distance is not None and args.near_distance >= 0:

@@ -1,0 +1,151 @@
+"""Hit-ray training-batch compaction (TrainConfig.hit_oversample).
+
+The reference fills its 2^18-sample training batch with *contributing*
+samples: rays/batch is auto-tuned so the compacted (occupancy-hitting)
+samples fill the budget, and real samples roll over to pad
+(reference: src/testbed_nerf.cu:3434-3435, 3922-3930).  Our fixed-shape
+analog probes ``hit_oversample * n_rays`` candidate pixels with the coarse
+occupancy march and fills the ``n_rays`` field-evaluation slots with hitting
+rays; rejected misses contribute their (field-independent) rgb/mask losses
+analytically and deposit to the error map.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neus2_tpu.data.synthetic import make_sphere_dataset
+from neus2_tpu.engine import occupancy as occ
+from neus2_tpu.engine.train import (
+    TrainConfig,
+    _forward_loss,
+    init_train_state,
+    train_step,
+)
+from neus2_tpu.models.field import FieldConfig
+from neus2_tpu.ops.hashgrid import HashGridConfig
+
+
+def _small_config(**over):
+    return TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(
+                n_levels=4, log2_hashmap_size=12, base_resolution=8,
+                per_level_scale=1.6,
+            ),
+            sdf_hidden_dim=32,
+            rgb_hidden_dim=32,
+        ),
+        n_rays=128,
+        samples_per_ray=8,
+        n_candidates=64,
+        occ_n_probe=1 << 12,
+        **over,
+    )
+
+
+def _tight_ball_occupancy(state, radius=0.12):
+    """Occupancy = small ball at the center: most random pixels MISS."""
+    g = state.occupancy.density.shape[-1]
+    idx = jnp.arange(g**3)
+    xyz = jnp.stack([idx % g, (idx // g) % g, idx // (g * g)], -1)
+    center = (xyz + 0.5) / g
+    inside = jnp.linalg.norm(center - 0.5, axis=-1) < radius
+    grid = occ.init_occupancy(n_cascades=1, grid_size=g)
+    grid = occ.merge_probes(grid, idx, jnp.where(inside, 1.0, 0.0))
+    return state._replace(occupancy=occ.update_bitfield(grid))
+
+
+def _setup(config, n_views=4, res=32, seed=0):
+    ds = make_sphere_dataset(n_views=n_views, resolution=res)
+    state = init_train_state(jax.random.PRNGKey(seed), config, n_images=n_views)
+    return state, ds.images_device(), ds.cameras()
+
+
+def test_compaction_fills_budget_with_hitting_rays():
+    """With a tight occupancy ball, oversampling raises the fraction of
+    contributing (occupancy-hitting) samples toward 1."""
+    base = _small_config()
+    state, images, cameras = _setup(base)
+    state = _tight_ball_occupancy(state)
+
+    _, aux1 = train_step(state, images, cameras, base)
+    frac1 = int(aux1.n_valid_samples) / (base.n_rays * base.samples_per_ray)
+
+    cfg4 = dataclasses.replace(base, hit_oversample=4)
+    state4, _, _ = _setup(cfg4)
+    state4 = _tight_ball_occupancy(state4)
+    _, aux4 = train_step(state4, images, cameras, cfg4)
+    frac4 = int(aux4.n_valid_samples) / (base.n_rays * base.samples_per_ray)
+
+    # The ball subtends a minority of random pixels; compaction should push
+    # contribution far up (4x candidates is plenty here).
+    assert frac1 < 0.8, f"scene too easy to test compaction (frac1={frac1})"
+    assert frac4 > min(0.95, 2 * frac1), (frac1, frac4)
+
+
+def test_all_hits_excludes_rest_rays():
+    """When every candidate hits, the rejected tail carries weight 0 (the
+    over-budget hits are excluded as if never sampled)."""
+    cfg = dataclasses.replace(_small_config(), hit_oversample=2)
+    state, images, cameras = _setup(cfg)
+    # Fully-occupied grid: every ray that enters the AABB hits.
+    g = state.occupancy.density.shape[-1]
+    grid = occ.init_occupancy(n_cascades=1, grid_size=g)
+    grid = occ.merge_probes(
+        grid, jnp.arange(g**3), jnp.ones((g**3,), jnp.float32)
+    )
+    state = state._replace(occupancy=occ.update_bitfield(grid))
+
+    diff = {"params": state.params}
+    total, (aux, extras) = _forward_loss(
+        diff, state, images, cameras, jax.random.PRNGKey(3), cfg, False
+    )
+    R = cfg.n_rays
+    assert extras.ray_loss.shape == (2 * R,)
+    # Rejected tail: all hits -> all excluded -> zero deposited loss.
+    np.testing.assert_allclose(np.asarray(extras.ray_loss[R:]), 0.0)
+    assert np.isfinite(float(total))
+    assert int(aux.n_valid_samples) == R * cfg.samples_per_ray
+
+
+def test_miss_rays_keep_cam_gradients():
+    """Rejected miss rays must still drive the learnable background (envmap)
+    — their loss is field-independent but NOT cam-independent."""
+    cfg = dataclasses.replace(
+        _small_config(), hit_oversample=4, use_envmap=True, random_bg=False
+    )
+    state, images, cameras = _setup(cfg)
+    state = _tight_ball_occupancy(state, radius=0.08)
+
+    def loss_fn(cam):
+        total, _ = _forward_loss(
+            {"cam": cam}, state, images, cameras,
+            jax.random.PRNGKey(5), cfg, False,
+        )
+        return total
+
+    g = jax.grad(loss_fn)(state.cam)
+    assert float(jnp.abs(g["envmap"]).max()) > 0.0
+
+
+def test_compaction_trains():
+    """A few compacted steps run end-to-end and keep the loss finite and
+    decreasing-ish (smoke; full convergence is the e2e tier)."""
+    cfg = dataclasses.replace(
+        _small_config(), hit_oversample=2, use_error_map=True,
+        mask_loss_weight=0.1,
+    )
+    state, images, cameras = _setup(cfg)
+    from neus2_tpu.engine.train import occupancy_prior_sweep
+
+    state = occupancy_prior_sweep(state, cfg, max_updates=8)
+    losses = []
+    for _ in range(8):
+        state, aux = train_step(state, images, cameras, cfg)
+        losses.append(float(aux.loss))
+    assert all(np.isfinite(losses))
+    # Error map accumulated deposits from ALL candidates.
+    assert float(state.error_map.error_map.sum()) > 0.0

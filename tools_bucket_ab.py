@@ -12,7 +12,10 @@ bucket occupancy history.  Equal steps across variants; the only
 difference is how early the sample budget is traded for rays.
 
 Usage: python tools_bucket_ab.py FACTOR [TARGET=2000]
-Resumable in tunnel-window chunks (snapshot keyed by factor).
+  BAB_SCENE=csg runs the hard-scene variant (24 train views @256^2, thin
+  fins + hf texture — the round-3 verdict asked whether bucket 2's coarser
+  dt survives hard geometry, weak #2).
+Resumable in tunnel-window chunks (snapshot keyed by factor+scene).
 """
 
 import dataclasses
@@ -32,13 +35,14 @@ import jax.numpy as jnp
 
 from bench import flagship_config
 from neus2_tpu.api.testbed import Hyperparams, Testbed
-from neus2_tpu.data.synthetic import make_sphere_dataset, sphere_sdf
+from neus2_tpu.data.synthetic import SCENES, make_csg_dataset, make_sphere_dataset, sphere_sdf
 from neus2_tpu.models.field import sdf_fn
 from neus2_tpu.ops.image import psnr, srgb_eval_target, ssim
 
 FACTOR = float(sys.argv[1]) if len(sys.argv) > 1 else 0.75
 TARGET = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
-TAG = f"f{FACTOR:g}".replace(".", "p")
+SCENE = os.environ.get("BAB_SCENE", "sphere")
+TAG = f"f{FACTOR:g}".replace(".", "p") + ("" if SCENE == "sphere" else f"_{SCENE}")
 SNAP = Path(f"/tmp/bucket_ab_{TAG}.msgpack")
 META = Path(f"/tmp/bucket_ab_{TAG}.json")
 HIST = Path(f"/tmp/bucket_ab_{TAG}_hist.json")
@@ -48,11 +52,21 @@ def main():
     config = dataclasses.replace(
         flagship_config(), adaptive_samples_factor=FACTOR
     )
-    train_ds = make_sphere_dataset(n_views=16, resolution=256)
-    # Held-out poses: a 20-view ring places every camera differently from
-    # the 16-view training ring (cos_t spacing depends on n_views).
-    eval_ds = make_sphere_dataset(n_views=20, resolution=256)
-    eval_ids = [3, 9, 14, 17]
+    gt_sdf = None  # analytic sphere shell below
+    if SCENE == "sphere":
+        train_ds = make_sphere_dataset(n_views=16, resolution=256)
+        # Held-out poses: a 20-view ring places every camera differently from
+        # the 16-view training ring (cos_t spacing depends on n_views).
+        eval_ds = make_sphere_dataset(n_views=20, resolution=256)
+        eval_ids = [3, 9, 14, 17]
+    else:
+        sdf, albedo = SCENES[SCENE]
+        full = make_csg_dataset(n_views=26, resolution=256, sdf=sdf, albedo=albedo)
+        train_ds = full.subset(slice(0, 24))
+        eval_ds = full
+        eval_ids = [24, 25]
+        gt_sdf = sdf
+        config = dataclasses.replace(config, mask_loss_weight=0.1)
 
     tb = Testbed(
         config=config, hyper=Hyperparams(first_frame_max_training_step=TARGET)
@@ -116,14 +130,20 @@ def main():
         print(f"eval view {k}: PSNR {psnrs[-1]:.2f}  SSIM {ssims[-1]:.4f}",
               flush=True)
 
-    d = np.random.default_rng(0).normal(size=(2048, 3))
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    shell = jnp.asarray(
-        np.float32(0.5) + np.float32(0.25) * d.astype(np.float32)
-    )
+    if gt_sdf is None:
+        d = np.random.default_rng(0).normal(size=(2048, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        shell = jnp.asarray(
+            np.float32(0.5) + np.float32(0.25) * d.astype(np.float32)
+        )
+    else:
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(0.2, 0.8, size=(200000, 3)).astype(np.float32)
+        shell = jnp.asarray(pts[np.abs(gt_sdf(pts)) < 0.01][:4096])
     sdf, _ = sdf_fn(tb.state.ema_params, shell, config.field)
     out = {
         "factor": FACTOR,
+        "scene": SCENE,
         "steps": tb.training_step,
         "held_out_psnr": float(np.mean(psnrs)),
         "held_out_ssim": float(np.mean(ssims)),
