@@ -33,7 +33,8 @@ from neus2_tpu.ops.hashgrid import HashGridConfig
 from neus2_tpu.ops.image import psnr
 
 
-def small_config(n_rays=512, samples=32, compute_dtype=None) -> TrainConfig:
+def small_config(n_rays=512, samples=32, compute_dtype=None,
+                 mask_loss_weight=0.1, hit_oversample=1) -> TrainConfig:
     # E2E_LEVELS/E2E_FEATURES: level-count vs row-width quality probes at
     # fixed table capacity (PERF.md: step cost scales with n_levels on TPU;
     # L8F2 parity, L4F4 and coarser-level/wider-row variants).
@@ -56,11 +57,13 @@ def small_config(n_rays=512, samples=32, compute_dtype=None) -> TrainConfig:
         samples_per_ray=samples,
         n_candidates=96,
         ek_loss_weight=0.1,
-        mask_loss_weight=0.1,
+        mask_loss_weight=mask_loss_weight,
+        hit_oversample=hit_oversample,
     )
 
 
-def main(n_steps=400, n_views=12, resolution=48, compute_dtype=None):
+def main(n_steps=400, n_views=12, resolution=48, compute_dtype=None,
+         mask_loss_weight=0.1, hit_oversample=1):
     ds = make_sphere_dataset(n_views=n_views + 1, resolution=resolution)
     cameras_all = ds.cameras()
     images_all = ds.images_device()
@@ -75,7 +78,9 @@ def main(n_steps=400, n_views=12, resolution=48, compute_dtype=None):
     )
     images = images_all[:-1]
 
-    config = small_config(compute_dtype=compute_dtype)
+    config = small_config(compute_dtype=compute_dtype,
+                          mask_loss_weight=mask_loss_weight,
+                          hit_oversample=hit_oversample)
     state = init_train_state(jax.random.PRNGKey(0), config, n_images=n_views)
 
     t0 = time.time()
