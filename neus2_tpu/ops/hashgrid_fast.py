@@ -221,10 +221,17 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
             ctj_c = ctj.astype(bw_dt)
 
             # --- d table: from both feat and jac outputs (grid.h:372, 881) ---
+            # Under bf16 compute the update is EMITTED in bf16 (term1 in
+            # bf16, the einsum's f32 accumulation rounded in its epilogue):
+            # the segment-sum pipeline quantizes to bf16 anyway for the sort
+            # payload (segment_tile.pack_bf16_pairs), so this only moves
+            # that convert into the producing fusion instead of a
+            # standalone pre-sort convert pass (round-3 profile: 9.8 ms of
+            # convert_element_type around the 9 per-level sorts).
             upd = (
-                w[..., None] * ctf[:, None, :]
-                + ein("ncj,njf->ncf", dw_c, ctj_c)
-            )  # (N,8,F)
+                w.astype(bw_dt)[..., None] * ctf_c[:, None, :]
+                + ein("ncj,njf->ncf", dw_c, ctj_c).astype(bw_dt)
+            )  # (N,8,F) in bw_dt
             if use_hash[l]:
                 idx_hash.append(idx.reshape(-1))
                 upd_hash.append(upd.reshape(-1, F))

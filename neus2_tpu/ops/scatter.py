@@ -53,7 +53,13 @@ def segment_dense_sum(
 
     ``uniform_hint``: caller asserts the indices are hash-uniform (true for
     hashed grid levels, NOT for dense coarse levels where samples
-    concentrate in few cells)."""
+    concentrate in few cells).
+
+    bf16 updates (the bf16-compute backward emits them — the sort payload is
+    bf16-quantized regardless) are accumulated in f32, matching the packed
+    TPU path's in-kernel f32 accumulation."""
+    if upd.dtype == jnp.bfloat16:
+        upd = upd.astype(jnp.float32)
     if method == "auto":
         if _on_cpu():
             method = "scatter"
