@@ -355,9 +355,24 @@ class Testbed:
                 self.config = dataclasses.replace(
                     self.config, error_map_res=res
                 )
+        # Dataset-provided environment map (json "envmap" image, reference
+        # nerf_loader.cu:498-511): enable the envmap subsystem at the
+        # image's resolution; the map stays trainable (reference m_envmap
+        # trainer) but starts from the data instead of near-zero.
+        env = getattr(self.dataset, "envmap", None)
+        if env is not None:
+            self.config = dataclasses.replace(
+                self.config,
+                use_envmap=True,
+                envmap_res=tuple(int(s) for s in env.shape[:2]),
+            )
         self.state = init_train_state(
             jax.random.PRNGKey(self.seed), self.config, self.dataset.n_images
         )
+        if env is not None:
+            cam = dict(self.state.cam)
+            cam["envmap"] = jnp.asarray(env, jnp.float32)
+            self.state = self.state._replace(cam=cam)
         # Step-0 whole-grid probe sweep (reference training_prep_nerf
         # analog): mark the geometric init's reachable shell before the
         # first training step.

@@ -74,6 +74,10 @@ class NerfDataset:
     # Per-image true (w, h) when resolutions are mixed and images are
     # zero-padded to the common max (reference nerf_loader.h:33-48).
     sizes: np.ndarray | None = None
+    # Dataset-provided environment map ((H, W, 4) premultiplied-linear RGBA
+    # from the json-root "envmap" image path, reference nerf_loader.cu:
+    # 498-511); initializes the trainable envmap at its resolution.
+    envmap: np.ndarray | None = None
 
     @property
     def n_images(self) -> int:
@@ -276,6 +280,16 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
     # 808-830; json key "sharpen", 0 = off).
     sharpen_amount = float(meta.get("sharpen", 0.0))
 
+    # Dataset-provided environment map: json-root "envmap" names an image
+    # (EXR = linear HDR, else sRGB-decoded) that seeds the trainable
+    # lat-long background (reference nerf_loader.cu:498-511).
+    envmap_data = None
+    if "envmap" in meta:
+        envmap_path = basepath / str(meta["envmap"])
+        if not envmap_path.exists():
+            raise FileNotFoundError(f"Environment map path {envmap_path} does not exist.")
+        envmap_data = _load_image_rgba(envmap_path)
+
     frames = meta["frames"]
     if n_frames_cap is not None:
         frames = frames[:n_frames_cap]
@@ -391,6 +405,7 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         poses_end=np.stack(poses_end) if (any_end or rolling_shutter is not None) else None,
         rays=rays,
         sizes=sizes,
+        envmap=envmap_data,
     )
 
 

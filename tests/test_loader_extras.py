@@ -315,3 +315,37 @@ def test_evaluate_mixed_resolution_scores_true_pixels(tmp_path, monkeypatch):
     psnrs, _ = run_mod.evaluate(tb, str(path), spp=1, log=lambda *a: None)
     assert shapes == [(24, 32), (16, 20)]
     assert all(np.isfinite(p) for p in psnrs)
+
+
+def test_dataset_envmap_loading(tmp_path):
+    """json-root "envmap" image seeds the trainable lat-long background at
+    its resolution (reference nerf_loader.cu:498-511 + m_envmap trainer)."""
+    import imageio.v2 as imageio
+
+    env = (np.random.default_rng(3).uniform(0, 1, (8, 16, 4)) * 255).astype(
+        np.uint8
+    )
+    env[..., 3] = 255
+    imageio.imwrite(tmp_path / "env.png", env)
+    path = _write_scene(
+        tmp_path,
+        [{"h": 12, "w": 12, "meta_extra": {"envmap": "env.png"}}],
+    )
+    ds = load_dataset(path)
+    assert ds.envmap is not None and ds.envmap.shape == (8, 16, 4)
+
+    from neus2_tpu.api.testbed import Testbed
+
+    tb = Testbed()
+    tb.load_training_data_from_datasets([ds])
+    assert tb.config.use_envmap
+    assert tb.config.envmap_res == (8, 16)
+    got = np.asarray(tb.state.cam["envmap"])
+    np.testing.assert_allclose(got, ds.envmap, atol=1e-6)
+
+    # Missing file must raise, like the reference's loader.
+    bad = json.loads(path.read_text())
+    bad["envmap"] = "missing.png"
+    (tmp_path / "t2.json").write_text(json.dumps(bad))
+    with pytest.raises(FileNotFoundError):
+        load_dataset(tmp_path / "t2.json")

@@ -11,7 +11,11 @@ branch point occ_len ~0.09, so bucket 2's per-ray sampling (dt ~0.0056)
 is ~1.6x COARSER than at the true converged point (occ ~0.054,
 dt ~0.0034): if quality holds here it holds there a fortiori.
 
-Usage: python tools_bucket_cont.py BUCKET [EXTRA=800]   (BUCKET in 0/1/2)
+Usage: python tools_bucket_cont.py BUCKET [EXTRA=800]   (BUCKET in 0/1/2/3;
+bucket 3 = 32768 x 8 is the round-4 candidate regime, VERDICT r3 task 9)
+  BC_BASE overrides the branch-point snapshot (default the factor-0.75
+  sphere A/B state; /tmp wipes between rounds may leave only the
+  compact_ab x1 snapshot — same scene/model, factor 0.45).
 Resumable; writes /tmp/bucket_cont_b{B}.json.
 """
 
@@ -38,7 +42,7 @@ from neus2_tpu.ops.image import psnr, srgb_eval_target, ssim
 
 BUCKET = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 EXTRA = int(sys.argv[2]) if len(sys.argv) > 2 else 800
-BASE = Path("/tmp/bucket_ab_f0p75.msgpack")  # 2000-step base state
+BASE = Path(os.environ.get("BC_BASE", "/tmp/bucket_ab_f0p75.msgpack"))  # 2000-step base
 SNAP = Path(f"/tmp/bucket_cont_b{BUCKET}.msgpack")
 META = Path(f"/tmp/bucket_cont_b{BUCKET}.json")
 
