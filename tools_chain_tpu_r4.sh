@@ -27,6 +27,13 @@ except Exception: print(0)" "$JSONF")
 timeout 1500 python bench.py >> "$LOG" 2>&1
 echo "exit $? : bench parity" >> "$LOG"
 
+# Backward segment-sum formatting probe (VERDICT r3 task 4: is the f32->bf16
+# convert around the sorts worth deleting?) + a fresh bucket-2 profile.
+timeout 900 python -u tools_probe_segsum.py >> "$LOG" 2>&1
+echo "exit $? : probe segsum" >> "$LOG"
+timeout 1200 python -u tools_profile_step.py 2 3 >> "$LOG" 2>&1
+echo "exit $? : profile bucket-2" >> "$LOG"
+
 timeout 1500 python bench.py --render >> "$LOG" 2>&1
 echo "exit $? : bench render" >> "$LOG"
 
