@@ -243,3 +243,26 @@ def test_zero1_flagship_table_shapes(mesh8):
     for size, t in zip(sizes, mu_tables):
         want = P("data") if size % 8 == 0 else P()
         assert t.sharding.spec == want, (size, t.sharding.spec)
+
+
+def test_parallel_compaction_step(mesh8):
+    """Hit-ray compaction under shard_map: per-device candidate probing +
+    selection, extras returned ray-sharded at the candidate count."""
+    import dataclasses
+
+    config, images, cameras = _setup(n_rays_per_device=32)
+    config = dataclasses.replace(
+        config, hit_oversample=2, use_error_map=True
+    )
+    state = init_train_state(jax.random.PRNGKey(0), config, n_images=6)
+    state = replicate_state(state, mesh8)
+    state = occupancy_update(state, config)
+    losses = []
+    for _ in range(3):
+        state, aux = parallel_train_step(
+            state, images, cameras, config, mesh8
+        )
+        losses.append(float(aux.loss))
+    assert all(np.isfinite(losses))
+    # Error map accumulated deposits from every device's candidates.
+    assert float(jax.device_get(state.error_map.error_map).sum()) > 0.0
