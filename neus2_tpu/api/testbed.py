@@ -733,7 +733,11 @@ class Testbed:
                 )
         self.state = state
         self.training_step += 1
-        if self.training_step % 16 == 0 or self.training_step == 1:
+        # 16-step fetch cadence (reference get_loss_scalar, testbed.cu:2714);
+        # also fetch on the very first step after init/resume so loss_scalar
+        # never reports its NaN placeholder (a resumed run's first %100 log
+        # line used to print loss=nan — cosmetic but alarming).
+        if self.training_step % 16 == 0 or self.last_aux is None:
             a = jax.device_get(aux)
             self.last_aux = a
             self.loss_scalar = float(a.loss)
