@@ -102,6 +102,9 @@ def main():
         ek_loss_weight=0.1,
         mask_loss_weight=0.1,
         use_error_map=USE_EMAP,
+        # CSG_OVERSAMPLE=2: hit-ray batch compaction (reference compacted-
+        # batch semantics; quality evidence in PERF.md round 4).
+        hit_oversample=int(os.environ.get("CSG_OVERSAMPLE", "1")),
     )
     ds = make_csg_dataset(n_views=N_TRAIN + N_EVAL, resolution=RES,
                           sdf=SCENE_SDF, albedo=SCENE_ALBEDO)
