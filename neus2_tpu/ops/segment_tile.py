@@ -503,6 +503,61 @@ def sorted_segment_sum_tiles_packed(
     return jnp.swapaxes(out, 1, 2)  # (L, n_rows, 2P)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "row_block", "chunk", "interpret")
+)
+def sorted_segment_sum_tiles_packed_planar(
+    idx_sorted: jnp.ndarray,  # (L, Mp) int32, ascending per level (padded)
+    packed: jnp.ndarray,  # (L, P, Mp) int32 packed bf16 pairs, same order
+    n_rows: int,
+    row_block: int = 512,
+    chunk: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """As ``sorted_segment_sum_tiles_packed`` but returns the kernel's RAW
+    (L, 2P, n_rows) planar output — no whole-array swapaxes.  The round-4
+    bucket-2 profile charged 16.5 ms/step to materializing that transpose
+    (f32[9,2,524288] at ~2.3 GB/s); callers that slice per level can take
+    ``out[l, :f, :size].T`` instead and let XLA fold the tiny per-level
+    layout change into the consumer."""
+    L, m_pad = idx_sorted.shape
+    p = packed.shape[1]
+    assert n_rows % row_block == 0 and chunk % _LANE == 0
+    n_tiles = n_rows // row_block
+    f2 = 2 * p
+
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * row_block
+    offs = jax.vmap(
+        lambda a: jnp.searchsorted(a, bounds, side="left").astype(jnp.int32)
+    )(idx_sorted)  # (L, n_tiles + 1)
+    idx_p = idx_sorted[:, None, :]  # (L, 1, Mp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f2, row_block),
+            lambda l, j, off_ref: (l, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, chunk), jnp.int32),
+            pltpu.VMEM((2, p, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _packed_kernel(row_block, chunk, p),
+        out_shape=jax.ShapeDtypeStruct((L, f2, n_rows), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(offs, idx_p, packed)
+
+
 def segment_sum_all_levels(
     idx_list,  # length-L list of (M,) int32, idx in [0, sizes[l])
     upd_list,  # length-L list of (M, F) f32
@@ -535,15 +590,16 @@ def segment_sum_all_levels(
         s = jax.lax.sort([idx_p] + pay_p, num_keys=1)
         idx_s_l.append(s[0])
         pay_s_l.append(jnp.stack(s[1:], axis=0))  # (P, Mp)
-    out = sorted_segment_sum_tiles_packed(
+    out = sorted_segment_sum_tiles_packed_planar(
         jnp.stack(idx_s_l),
         jnp.stack(pay_s_l),
         n_rows,
         row_block=row_block,
         chunk=chunk,
         interpret=interpret,
-    )  # (L, n_rows, 2P)
-    return [out[l, : sizes[l], :f] for l in range(L)]
+    )  # (L, 2P, n_rows) planar — per-level .T below instead of one big
+    # materialized swapaxes (16.5 ms/step at flagship scale, r4 profile).
+    return [out[l, :f, : sizes[l]].T for l in range(L)]
 
 
 def debug_overflow_check(

@@ -60,24 +60,42 @@ def main():
         print("[profile] NO xplane captured (tunnel may not export device "
               "traces); falling back to nothing")
         return
-    xp = xplanes[-1]
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    print_xplane_op_ranking(xplanes[-1], n_steps)
 
-    for tool in ("framework_op_stats", "tensorflow_stats", "op_profile"):
-        try:
-            data = raw_to_tool_data.xspace_to_tool_data(
-                [xp], tool, params={}
-            )
-            if isinstance(data, tuple):
-                data = data[0]
-            out = f"/tmp/profile_b{bucket}_{tool}.out"
-            mode = "wb" if isinstance(data, bytes) else "w"
-            with open(out, mode) as f:
-                f.write(data)
-            print(f"[profile] {tool}: wrote {out} ({len(data)} bytes)",
-                  flush=True)
-        except Exception as e:
-            print(f"[profile] {tool}: {type(e).__name__}: {e}", flush=True)
+
+def print_xplane_op_ranking(xp: str, n_steps: int, top: int = 40):
+    """Rank ops by device self-time straight from the raw xplane proto.
+
+    tensorboard_plugin_profile's converter is broken in this image (protobuf
+    descriptor mismatch, seen 2026-08-20); TF's bundled tsl xplane_pb2
+    parses the same file fine.  The "XLA Ops" line is the core's serialized
+    timeline — its summed durations/n_steps equal the step wall time when
+    the core is busy end-to-end."""
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    space = xplane_pb2.XSpace()
+    with open(xp, "rb") as f:
+        space.ParseFromString(f.read())
+    planes = [p for p in space.planes if p.name.startswith("/device:TPU")]
+    if not planes:
+        print("[profile] no TPU plane in trace")
+        return
+    plane = planes[0]
+    md = plane.event_metadata
+    line = max(plane.lines, key=lambda l: len(l.events))
+    tot, cnt = defaultdict(float), defaultdict(int)
+    for ev in line.events:
+        name = md[ev.metadata_id].name
+        tot[name] += ev.duration_ps / 1e9  # ms
+        cnt[name] += 1
+    print(
+        f"[profile] line {line.name!r}: "
+        f"{sum(tot.values())/n_steps:.1f} ms/step over {n_steps} steps"
+    )
+    for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms/n_steps:8.2f} ms/step  x{cnt[name]:5d}  {name[:100]}")
 
 
 if __name__ == "__main__":
