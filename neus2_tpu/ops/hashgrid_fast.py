@@ -236,10 +236,25 @@ def make_encode_jac(config: HashGridConfig, compute_dtype=None):
                 idx_hash.append(idx.reshape(-1))
                 upd_hash.append(upd.reshape(-1, F))
                 lvl_hash.append(l)
-            else:
+            elif 8 * F <= 32:
                 idx_dense.append(idx)  # (N,)
                 upd_dense.append(upd.reshape(-1, 8 * F))
                 lvl_dense.append(l)
+            else:
+                # Corner-fused rows wider than 32 (8F=64 at F=8) hit a v5e
+                # compile pathology in the packed sort+tile-reduce pipeline:
+                # the single (N,64)->4104 dense segment sum alone compiles
+                # >260 s (tools_probe_l4f8_compile.py bisect; the whole
+                # l4f8 step was killed at 25 min).  Emit per-corner (N*8, F)
+                # updates instead — the shape class the hashed levels use,
+                # which compiles fine — with the roll-equivalent per-corner
+                # indices ((idx0 + off_c) % size; matches the forward's
+                # jnp.roll corner gather exactly).
+                offs = jnp.asarray(corner_offsets[l], jnp.int32)
+                idx_c = (idx[:, None] + offs[None, :]) % sizes[l]
+                idx_hash.append(idx_c.reshape(-1))
+                upd_hash.append(upd.reshape(-1, F))
+                lvl_hash.append(l)
 
             # --- d positions (grid.h:804 first order + 1010 second order) ---
             # dL/dx_j += sum_cf dw[n,c,j] * vals * ctf   (through feat)

@@ -76,6 +76,25 @@ def main():
 
         _compile(f"segsum x{len(hashed)} F=8", seg, idx, upd)
 
+    if "encfwd" in stages:
+        from neus2_tpu.ops.hashgrid_fast import (
+            init_hashgrid_tables,
+            make_encode_jac,
+        )
+
+        tables = init_hashgrid_tables(key, grid)
+        enc = make_encode_jac(grid, compute_dtype=jnp.bfloat16)
+        pos = jax.random.uniform(key, (N, 3))
+
+        def enc_fwd(tables, pos):
+            feat, jac = enc(tables, pos)[:2]
+            return (
+                jnp.sum(feat.astype(jnp.float32))
+                + jnp.sum(jac.astype(jnp.float32))
+            )
+
+        _compile("encoder fwd only", enc_fwd, tables, pos)
+
     if "encoder" in stages:
         from neus2_tpu.ops.hashgrid_fast import (
             init_hashgrid_tables,
