@@ -64,13 +64,6 @@ _COMPONENT_OF_KEY = {
 def exp_decay_schedule(config: OptimConfig):
     """Piecewise-constant exponential decay (tcnn ExponentialDecay)."""
 
-    def schedule(step):
-        n = jnp.maximum(0, step - config.decay_start) // config.decay_interval
-        active = (step >= config.decay_start).astype(jnp.float32)
-        return config.learning_rate * jnp.power(
-            config.decay_base, n.astype(jnp.float32) * active + active
-        )
-
     def schedule_fixed(step):
         # lr stays at base before decay_start; afterwards multiply by
         # decay_base once per completed interval (first drop AT decay_start).

@@ -1,12 +1,16 @@
 """End-to-end drive: train NeuS2-TPU on the synthetic sphere scene (CPU-able).
 
-Run: PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python -u tests/e2e_drive.py
+Run: JAX_PLATFORMS=cpu python -u tests/e2e_drive.py  (from any cwd — the
+repo root is inserted on sys.path below, same as tests/_mp_worker.py).
 Prints the loss curve and a final held-out-view PSNR.  This is the runtime
 verification surface for the training engine (see .claude/skills/verify).
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

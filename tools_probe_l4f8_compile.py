@@ -11,10 +11,11 @@ pathological stage is identified by the last line printed.
 Stages:
   1. packed Pallas segment-sum over the hashed levels (F=8 -> p=4
      packed words; a Mosaic instantiation never exercised by parity/tpu_opt)
-  2. encoder fwd+bwd (custom-VJP hashgrid, corner-fused dense gathers at
+  2. encoder forward only (incl. the corner-fused dense gather)
+  3. encoder fwd+bwd (custom-VJP hashgrid, corner-fused dense gathers at
      8F=64-wide rows) via jax.vjp
-  3. full field fwd+bwd (encoder + MLPs + jax.linearize jac tangents)
-  4. the full train step (known-pathological; keep last)
+  4. full field fwd+bwd (encoder + MLPs + jax.linearize jac tangents)
+  5. the full train step (known-pathological; keep last)
 
 Usage: [timeout 900] python tools_probe_l4f8_compile.py [stage ...]
 """
@@ -46,7 +47,7 @@ def _compile(name, fn, *args):
 
 
 def main():
-    stages = set(sys.argv[1:]) or {"segsum", "encoder", "field", "step"}
+    stages = set(sys.argv[1:]) or {"segsum", "encfwd", "encoder", "field", "step"}
     from bench import flagship_config
 
     config = flagship_config("l4f8")
