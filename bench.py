@@ -6,6 +6,17 @@ Baseline: the reference publishes no numbers (BASELINE.md).  The NeuS2 paper
 reports minutes-scale DTU training on an RTX 3090 at ~2000 steps with 4096
 rays/batch — roughly 8 steps/s ~= 33k rays/s.  We use 33_000 rays/s as the
 reference-derived baseline; vs_baseline = ours / baseline (higher is better).
+
+Ray accounting (round 5+): rays/s counts rays whose loss/gradient
+contribution the step computed (StepAux.n_rays_counted).  Without
+compaction that is exactly n_rays/step (identical to rounds 1-4).  With
+hit-ray compaction (hit_oversample=2, the product default since round 5)
+the step draws 2R candidates, field-evaluates the R hitting ones and
+computes the miss candidates' losses analytically-but-exactly, so those
+count too — the same accounting as the reference's auto-tuned rays/batch,
+which includes compacted-away near-empty rays.  The field-evaluated-slots
+rate is reported alongside ("*_field_rays") for comparability with
+rounds 1-4.
 """
 
 import argparse
@@ -104,25 +115,41 @@ def bench_single(n_iters=20, warm_steps=48, variant="parity"):
     _ = float(aux.loss)
     _note("timing bucket-0")
 
+    # rays/s counts rays whose loss/gradient contribution the step computed
+    # (aux.n_rays_counted): with hit-ray compaction (hit_oversample=2, the
+    # round-5 default) that is candidates minus excluded over-budget hits —
+    # miss candidates' losses are computed EXACTLY (analytically), so they
+    # are trained rays in the same sense as the reference's rays/batch,
+    # which also counts compacted-away near-empty rays
+    # (testbed_nerf.cu:3434-3435).  The field-evaluated ray count
+    # (n_rays slots) is reported alongside as field_rays/s.
     t0 = time.perf_counter()
+    counted = []
     for _ in range(n_iters):
         state, aux = train_step(state, images, cameras, config)
+        counted.append(aux.n_rays_counted)
     _ = float(aux.loss)
     dt = time.perf_counter() - t0
-    rays_scratch = config.n_rays * n_iters / dt
+    rays_scratch = sum(float(c) for c in counted) / dt
+    field_scratch = config.n_rays * n_iters / dt
 
     try:
         return _bench_converged(
-            config, state, images, cameras, rays_scratch, n_iters, warm_steps
+            config, state, images, cameras, rays_scratch, field_scratch,
+            n_iters, warm_steps,
         )
     except Exception as e:  # never exit without the JSON line
         _note(f"converged-regime bench failed ({type(e).__name__}: {e}); "
               "reporting from-scratch only")
-        return rays_scratch, {"from_scratch": round(rays_scratch, 1)}
+        return rays_scratch, {
+            "from_scratch": round(rays_scratch, 1),
+            "from_scratch_field_rays": round(field_scratch, 1),
+        }
 
 
 def _bench_converged(
-    config, state, images, cameras, rays_scratch, n_iters, warm_steps
+    config, state, images, cameras, rays_scratch, field_scratch, n_iters,
+    warm_steps,
 ):
     import dataclasses
 
@@ -173,8 +200,10 @@ def _bench_converged(
 
     details = {
         "from_scratch": round(rays_scratch, 1),
+        "from_scratch_field_rays": round(field_scratch, 1),
         "occ_len": round(occ_len, 4),
         "bucket": bucket,
+        "hit_oversample": config.hit_oversample,
     }
     if bucket == 0:
         return rays_scratch, details
@@ -189,21 +218,29 @@ def _bench_converged(
     _ = float(aux.loss)
     _note(f"timing bucket-{bucket}")
     t0 = time.perf_counter()
+    counted = []
     for _ in range(n_iters):
         state, aux = train_step(state, images, cameras, cfg_b)
+        counted.append(aux.n_rays_counted)
     _ = float(aux.loss)
     dt = time.perf_counter() - t0
-    rays_conv = cfg_b.n_rays * n_iters / dt
+    rays_conv = sum(float(c) for c in counted) / dt
     details["converged"] = round(rays_conv, 1)
+    details["converged_field_rays"] = round(cfg_b.n_rays * n_iters / dt, 1)
     return max(rays_scratch, rays_conv), details
 
 
-def bench_scaling(n_devices, n_iters=10, zero1=False, variant="parity"):
+def bench_scaling(n_devices, n_iters=10, zero1=False, variant="parity",
+                  config=None):
     """Rays/s on a 1-device vs n-device mesh (same per-device ray batch:
     weak scaling — the BASELINE >=75% 1->N efficiency target).
 
     ``zero1``: shard the hash-table gradient reduction + optimizer state
-    over the mesh (parallel/train.py _train_step_zero1)."""
+    over the mesh (parallel/train.py _train_step_zero1).
+
+    ``config``: TrainConfig override — the dryrun path (and its fast-suite
+    test) passes tiny shapes so the full machinery exercises on a virtual
+    CPU mesh; throughput numbers from that mode are NOT perf data."""
     import dataclasses
 
     from neus2_tpu.parallel.train import (
@@ -214,7 +251,7 @@ def bench_scaling(n_devices, n_iters=10, zero1=False, variant="parity"):
     )
 
     devices = jax.devices()[:n_devices]
-    config = flagship_config(variant)
+    config = config or flagship_config(variant)
     results = {}
     for nd in (1, len(devices)):
         mesh = make_mesh(devices[:nd])
@@ -226,11 +263,14 @@ def bench_scaling(n_devices, n_iters=10, zero1=False, variant="parity"):
         state, aux = step(state, images, cameras, cfg, mesh)
         _ = float(aux.loss)
         t0 = time.perf_counter()
+        counted = []
         for _ in range(n_iters):
             state, aux = step(state, images, cameras, cfg, mesh)
+            # aux is pmean'd over the mesh -> per-device trained-ray count.
+            counted.append(aux.n_rays_counted)
         _ = float(aux.loss)
         dt = time.perf_counter() - t0
-        results[nd] = cfg.n_rays * nd * n_iters / dt
+        results[nd] = sum(float(c) for c in counted) * nd / dt
     return results
 
 
@@ -422,7 +462,39 @@ def main():
     p.add_argument("--config", default="parity",
                    choices=("parity", "tpu_opt", "l4f8"),
                    help="network variant (headline stays parity)")
+    p.add_argument("--dryrun", action="store_true",
+                   help="with --devices: exercise the full scaling "
+                        "machinery at tiny shapes (e.g. on a virtual CPU "
+                        "mesh via XLA_FLAGS=--xla_force_host_platform_"
+                        "device_count=8 JAX_PLATFORMS=cpu) — output is "
+                        "labeled dryrun and is NOT a perf number")
     args = p.parse_args()
+
+    if args.dryrun and args.devices > 1:
+        # No TPU probe: dryrun targets whatever backend is configured
+        # (normally the virtual CPU mesh).
+        import dataclasses
+
+        from neus2_tpu.utils.cpuforce import force_cpu_if_requested
+
+        force_cpu_if_requested()
+        cfg = dataclasses.replace(
+            flagship_config(args.config),
+            n_rays=256, samples_per_ray=16, n_candidates=32,
+            occ_n_probe=1 << 12,
+        )
+        res = bench_scaling(args.devices, n_iters=2, zero1=args.zero1,
+                            variant=args.config, config=cfg)
+        nd = max(res)
+        print(json.dumps({
+            "metric": f"train_rays_per_s_{nd}dev_dryrun",
+            "value": round(res[nd], 1),
+            "unit": "rays/s",
+            "vs_baseline": 0.0,  # dryrun: machinery check, not perf
+            "dryrun": True,
+            "config": args.config,
+        }))
+        return
 
     if not _probe_backend_with_retry():
         sys.exit(_emit_failure(

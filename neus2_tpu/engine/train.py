@@ -152,7 +152,10 @@ class TrainConfig:
     # fixed-shape analog of the reference's rays/batch auto-tune, which
     # grows rays until compacted *contributing* samples fill the 2^18
     # budget (testbed_nerf.cu:3434-3435, 3922-3930).  1 = off.
-    hit_oversample: int = 1
+    # Default 2 since round 5: quality-positive everywhere measured
+    # (PERF.md round 4: +0.34 dB PSNR, -17% |SDF| at equal steps in less
+    # wall time on-chip; CSG valid-sample fraction 0.32 -> 0.64).
+    hit_oversample: int = 2
 
     @property
     def cone_angle(self) -> float:
@@ -192,6 +195,15 @@ class StepAux(NamedTuple):
     # would be created at import time and initialize the XLA backend before
     # jax.distributed.initialize can run (multi-host ordering contract).
     mean_occ_len: jnp.ndarray | float = 0.0
+    # Rays whose loss/gradient contribution this step computed: all C
+    # candidates minus over-budget hits excluded from the batch (== n_rays
+    # without compaction).  Miss candidates' losses are EXACT (zero weight
+    # sum -> pred == background, zero field gradient — identical to what an
+    # uncompacted step would compute for them), so they count as trained
+    # rays, matching the reference's own rays/batch accounting in which
+    # compacted-away near-empty rays count toward the batch
+    # (testbed_nerf.cu:3434-3435).
+    n_rays_counted: jnp.ndarray | float = 0.0
 
 
 class StepExtras(NamedTuple):
@@ -592,6 +604,11 @@ def _forward_loss(
         psnr_proxy=-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
         mean_occ_len=jnp.sum(total_len)
         / jnp.maximum(jnp.sum(hit_ray.astype(jnp.float32)), 1.0),
+        n_rays_counted=(
+            float(R)
+            if rest is None
+            else float(C) - jnp.sum(rest_hit.astype(jnp.float32))
+        ),
     )
     dep_loss = jax.lax.stop_gradient(rgb_l * ray_w)
     if rest is None:

@@ -9,7 +9,8 @@ semantics testbed_nerf.cu:3434-3435, 3922-3930).
 
 Usage: python tools_compact_ab.py OVERSAMPLE [TARGET=2000]
   CAB_SCENE=csg for the hard-scene variant (24 views @256^2).
-Resumable in tunnel-window chunks (snapshot keyed by oversample+scene).
+  CAB_SEED=n for seed replicates (round-5 SSIM noise-vs-systematic check).
+Resumable in tunnel-window chunks (snapshot keyed by oversample+scene+seed).
 """
 
 import dataclasses
@@ -36,7 +37,8 @@ from neus2_tpu.ops.image import psnr, srgb_eval_target, ssim
 OVERSAMPLE = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 TARGET = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 SCENE = os.environ.get("CAB_SCENE", "sphere")
-TAG = f"x{OVERSAMPLE}_{SCENE}"
+SEED = int(os.environ.get("CAB_SEED", "0"))
+TAG = f"x{OVERSAMPLE}_{SCENE}" + (f"_s{SEED}" if SEED else "")
 SNAP = Path(f"/tmp/compact_ab_{TAG}.msgpack")
 META = Path(f"/tmp/compact_ab_{TAG}.json")
 
@@ -58,7 +60,9 @@ def main():
         config = dataclasses.replace(config, mask_loss_weight=0.1)
 
     tb = Testbed(
-        config=config, hyper=Hyperparams(first_frame_max_training_step=TARGET)
+        config=config,
+        hyper=Hyperparams(first_frame_max_training_step=TARGET),
+        seed=SEED,
     )
     tb.load_training_data_from_datasets([train_ds])
     meta = {"train_s": 0.0, "steps_timed": 0, "valid_frac": []}
@@ -130,6 +134,7 @@ def main():
     out = {
         "oversample": OVERSAMPLE,
         "scene": SCENE,
+        "seed": SEED,
         "steps": tb.training_step,
         "held_out_psnr": float(np.mean(psnrs)),
         "held_out_ssim": float(np.mean(ssims)),

@@ -57,12 +57,25 @@ RES = int(os.environ.get("DYN_RES", "64"))
 BUDGET_S = float(os.environ.get("DYN_BUDGET_S", "3000"))
 NEXT_STEPS = int(os.environ.get("DYN_NEXT_STEPS", "300"))
 REFINE_STEPS = int(os.environ.get("DYN_REFINE_STEPS", "100"))
+FRAME0_STEPS = int(os.environ.get("DYN_FRAME0_STEPS", "800"))
 DELTA_LR = float(os.environ.get("DYN_DELTA_LR", "5e-3"))
 MOTION_PRIOR = os.environ.get("DYN_MOTION_PRIOR", "0") == "1"
+# DYN_FULL=1: the static-protocol model scale (flagship bf16 grid,
+# 4096 x 64 batch) for the on-chip 48-view @256^2 run (VERDICT r4 task 6);
+# default stays the CPU-able small model.
+FULL = os.environ.get("DYN_FULL", "0") == "1"
 SHIFT = (0.035, 0.0, 0.0)
 
 
 def make_config() -> TrainConfig:
+    if FULL:
+        from bench import flagship_config
+        import dataclasses
+
+        return dataclasses.replace(
+            flagship_config(os.environ.get("DYN_CONFIG", "parity")),
+            delta_lr=DELTA_LR,
+        )
     return TrainConfig(
         field=FieldConfig(
             grid=HashGridConfig(
@@ -126,7 +139,7 @@ def main():
     train_frames = [drop_last(ds) for ds in frames_full]
 
     hyper = Hyperparams(
-        first_frame_max_training_step=800,
+        first_frame_max_training_step=FRAME0_STEPS,
         next_frame_max_training_step=NEXT_STEPS,
         predict_global_movement=PREDICT,
         predict_global_movement_training_step=REFINE_STEPS,

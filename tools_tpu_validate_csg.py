@@ -102,17 +102,40 @@ def main():
         ek_loss_weight=0.1,
         mask_loss_weight=0.1,
         use_error_map=USE_EMAP,
-        # CSG_OVERSAMPLE=2: hit-ray batch compaction (reference compacted-
-        # batch semantics; quality evidence in PERF.md round 4).
-        hit_oversample=int(os.environ.get("CSG_OVERSAMPLE", "1")),
+        # Hit-ray batch compaction (reference compacted-batch semantics;
+        # quality evidence in PERF.md round 4).  Default 2 == the round-5
+        # TrainConfig default; CSG_OVERSAMPLE=1 reproduces old protocols.
+        hit_oversample=int(os.environ.get("CSG_OVERSAMPLE", "2")),
     )
-    ds = make_csg_dataset(n_views=N_TRAIN + N_EVAL, resolution=RES,
-                          sdf=SCENE_SDF, albedo=SCENE_ALBEDO)
+    # Dataset cache: at >=1024^2 the numpy sphere-traced GT render takes
+    # minutes — a resumable chip chunk must not pay it on every resume.
+    cache = Path(f"/tmp/csg_ds_{SCENE}_{N_TRAIN + N_EVAL}v_{RES}.npz")
+    if cache.exists():
+        z = np.load(cache)
+        ds = make_csg_dataset(n_views=1, resolution=RES, sdf=SCENE_SDF,
+                              albedo=SCENE_ALBEDO)
+        import dataclasses as _dc
+
+        ds = _dc.replace(ds, images=z["images"], poses=z["poses"],
+                         focal=z["focal"], principal=z["principal"])
+        print(f"dataset from cache {cache}", flush=True)
+    else:
+        ds = make_csg_dataset(n_views=N_TRAIN + N_EVAL, resolution=RES,
+                              sdf=SCENE_SDF, albedo=SCENE_ALBEDO)
+        if RES >= 512:
+            np.savez(cache, images=ds.images, poses=ds.poses,
+                     focal=ds.focal, principal=ds.principal)
     cams_all = ds.cameras()
     imgs_all = jnp.asarray(ds.images)
     train_ds = ds.subset(slice(0, N_TRAIN)) if hasattr(ds, "subset") else None
 
-    tb = Testbed(config=config, hyper=Hyperparams(first_frame_max_training_step=TARGET))
+    # CSG_FP16=1: half-precision texel storage (reference __half4 images,
+    # nerf_loader.cu) — halves HBM for the >=1024^2 at-scale protocol.
+    tb = Testbed(
+        config=config,
+        hyper=Hyperparams(first_frame_max_training_step=TARGET),
+        image_dtype=jnp.float16 if os.environ.get("CSG_FP16") else None,
+    )
     if train_ds is not None:
         tb.load_training_data_from_datasets([train_ds])
     else:
