@@ -74,14 +74,22 @@ def morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     return _part1by2(x) | (_part1by2(y) << 1) | (_part1by2(z) << 2)
 
 
-def _morton_order(g: int) -> np.ndarray:
-    """morton_index -> flat x-major cell index, for one G^3 cascade."""
+def _morton_of_flat(g: int) -> np.ndarray:
+    """flat (z,y,x x-fastest) cell index -> morton code, for one G^3 cascade.
+
+    The reference's in-memory density grid is MORTON-ordered: linear buffer
+    index == morton(x, y, z) (testbed_nerf.cu:555-565 decodes the buffer
+    index i with morton3D_invert to get the cell coordinate), and the
+    snapshot serializes that buffer verbatim.  So importing is
+    ``cells_xmajor = buffer[m]`` and exporting is ``buffer[m] = cells``
+    with m = this map.  NOTE the inverse permutation is NOT equivalent:
+    bit-interleave is only an involution when bits-per-axis == n_axes
+    (g=8) — at the production NERF_GRIDSIZE=128 the two differ (caught by
+    the hand-assembled golden fixture, tests/test_ngp_snapshot_golden.py).
+    """
     z, y, x = np.meshgrid(np.arange(g), np.arange(g), np.arange(g),
                           indexing="ij")
-    m = morton3d(x.ravel(), y.ravel(), z.ravel())
-    order = np.empty(g * g * g, np.int64)
-    order[m] = np.arange(g * g * g)  # cell at morton index m
-    return order
+    return morton3d(x.ravel(), y.ravel(), z.ravel()).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -282,9 +290,9 @@ def load_reference_snapshot(
         if dg.size % (g**3):
             raise ValueError("density grid size is not a whole cascade count")
         c = dg.size // g**3
-        order = _morton_order(g)
+        m = _morton_of_flat(g)
         cas = [
-            dg[k * g**3 : (k + 1) * g**3][order].reshape(g, g, g)
+            dg[k * g**3 : (k + 1) * g**3][m].reshape(g, g, g)
             for k in range(c)
         ]
         # morton order is (x fastest); our density axes are (z, y, x)
@@ -381,20 +389,52 @@ def save_reference_snapshot(
     ]
     flat = np.concatenate(parts)
 
+    # Keys the reference's Testbed::load_snapshot reads UNCONDITIONALLY
+    # (testbed.cu:3197-3254 — no .contains() guards): density_grid_size,
+    # density_grid_binary, nerf.rgb.{rays_per_batch, measured_batch_size,
+    # measured_batch_size_before_compaction}, rotation/transition
+    # (load_global_movement, nerf_network.h:1207) and local_rotation/
+    # local_transition (load_local_movement, :1249).  All are emitted with
+    # faithful defaults so the reference can load our files; a zero-length
+    # density grid is its documented "never populated" state.
     snap: dict[str, Any] = {
         "n_params": int(flat.size),
         "params_binary": flat.tobytes(),
         "training_step": int(training_step),
         "loss": float(loss),
-        "nerf": {"aabb_scale": int(aabb_scale)},
+        "nerf": {
+            "aabb_scale": int(aabb_scale),
+            "rgb": {
+                "rays_per_batch": 4096,
+                "measured_batch_size": 1 << 18,
+                "measured_batch_size_before_compaction": 1 << 18,
+            },
+        },
+        "density_grid_size": NERF_GRIDSIZE,
+        "density_grid_binary": b"",
+        # local (delta) movement: identity 6d rotation in an 8-buffer +
+        # zero transition in a 4-buffer (transform_network.h:30-35).
+        "local_rotation": np.array(
+            [1, 0, 0, 0, 1, 0, 0, 0], "<f2"
+        ).tobytes(),
+        "local_transition": np.zeros(4, "<f2").tobytes(),
     }
+    if acc is None:
+        # Identity accumulated movement (12/4-buffer layout,
+        # nerf_network.h:89-93; row-major 3x3 in [0:9]).
+        snap["rotation"] = np.concatenate(
+            [np.eye(3, dtype=np.float32).reshape(-1), np.zeros(3)]
+        ).astype("<f2").tobytes()
+        snap["transition"] = np.zeros(4, "<f2").tobytes()
     if density_grid is not None:
         dg = np.asarray(density_grid, np.float32)
         g = dg.shape[-1]
-        order = _morton_order(g)
-        inv = np.empty_like(order)
-        inv[order] = np.arange(order.size)
-        cas = [c.reshape(-1)[inv] for c in dg.reshape(-1, g**3)]
+        m = _morton_of_flat(g)
+        cas = []
+        for c in dg.reshape(-1, g**3):
+            buf = np.empty(g**3, np.float32)
+            buf[m] = c  # buffer position morton(x,y,z) <- cell (z,y,x)
+            cas.append(buf)
         snap["density_grid_size"] = g
         snap["density_grid_binary"] = (
             np.concatenate(cas).astype("<f2").tobytes()
