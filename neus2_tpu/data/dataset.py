@@ -60,6 +60,10 @@ class NerfDataset:
     # Brown-Conrady (k1, k2, p1, p2) from the json root, or None
     # (reference nerf_loader.cu:397-425).
     distortion: np.ndarray | None = None
+    # FTheta fisheye polynomial [p0..p4, w, h] from the json root, or None
+    # (reference nerf_loader.cu:448-457; takes precedence over k1/k2 in
+    # the reference because it is assigned last).
+    ftheta: np.ndarray | None = None
     # Per-pixel depth in ngp units ((N, H, W) float32, 0 = no data), from
     # per-frame depth_path images scaled by integer_depth_scale * scale
     # (reference nerf_loader.cu:91-98, 218-220, 599-607, 736).
@@ -120,7 +124,8 @@ class NerfDataset:
             focal=jnp.asarray(self.focal, jnp.float32),
             principal=jnp.asarray(self.principal, jnp.float32),
             resolution=self.resolution,
-            distortion=opt(self.distortion),
+            distortion=opt(self.distortion) if self.ftheta is None else None,
+            ftheta=opt(self.ftheta),
             poses_end=opt(self.poses_end),
             rolling_shutter=opt(self.rolling_shutter),
             rays=opt(self.rays),
@@ -266,6 +271,15 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         [float(meta.get(k, 0.0)) for k in ("k1", "k2", "p1", "p2")], np.float32
     )
     distortion = dist if np.any(dist != 0.0) else None
+    # FTheta fisheye (nerf_loader.cu:448-457): ftheta_p0..4 + the
+    # intrinsics' own pixel scale w/h; overrides Brown-Conrady.
+    ftheta = None
+    if "ftheta_p0" in meta:
+        ftheta = np.array(
+            [float(meta[f"ftheta_p{i}"]) for i in range(5)]
+            + [float(meta["w"]), float(meta["h"])],
+            np.float32,
+        )
     # uint16 depth images scale by integer_depth_scale, then by the scene
     # scale (reference set_training_image call, nerf_loader.cu:736).
     depth_scale = float(meta.get("integer_depth_scale", -1.0))
@@ -400,6 +414,7 @@ def load_dataset(json_path: str | os.PathLike, n_frames_cap: int | None = None) 
         from_na=from_na,
         paths=tuple(paths),
         distortion=distortion,
+        ftheta=ftheta,
         depths=depths,
         rolling_shutter=rolling_shutter,
         poses_end=np.stack(poses_end) if (any_end or rolling_shutter is not None) else None,

@@ -26,6 +26,11 @@ class Cameras(NamedTuple):
     # as in the reference (parsed from the json root, nerf_loader.cu:397-425);
     # None = pinhole.
     distortion: jnp.ndarray | None = None
+    # FTheta fisheye lens (r-to-angle polynomial): 7 params
+    # [p0..p4, w, h] (common.h:172 ECameraDistortionMode::FTheta,
+    # json ftheta_p0..4 + w/h, nerf_loader.cu:448-457); mutually exclusive
+    # with `distortion`.  None = not an ftheta camera.
+    ftheta: jnp.ndarray | None = None
     # End-of-exposure poses + rolling-shutter coefficients (t0, du, dv,
     # motionblur): the per-pixel pose is start + (end-start) * (t0 + du*u +
     # dv*v + mb*time) (reference get_xform_given_rolling_shutter,
@@ -106,6 +111,41 @@ def iterative_undistortion(
     return x, y
 
 
+def ftheta_undistortion(
+    params: jnp.ndarray, duv: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FTheta fisheye: centered uv offset -> camera-space direction.
+
+    The radius-to-angle polynomial model (reference f_theta_undistortion,
+    common_device.cuh:231-243): pixel radius r (in the intrinsics'
+    own w/h scale, params[5:7]) maps to the ray's polar angle
+    alpha = p0 + r*(p1 + r*(p2 + r*(p3 + r*p4))); the direction is
+    (sin(a)/r * xpix, sin(a)/r * ypix, cos(a)).
+
+    Returns (dir_cam (B, 3) UNNORMALIZED, valid (B,) bool).  Invalid rays
+    (cos(alpha) <= 0 or r == 0 — the reference returns an
+    outside-the-aabb sentinel ray so the pixel never renders) get a
+    placeholder +z direction; callers must mask them via `valid`.
+    """
+    xpix = duv[..., 0] * params[5]
+    ypix = duv[..., 1] * params[6]
+    norm = jnp.sqrt(xpix * xpix + ypix * ypix)
+    alpha = params[0] + norm * (
+        params[1] + norm * (params[2] + norm * (params[3] + norm * params[4]))
+    )
+    sin_a, cos_a = jnp.sin(alpha), jnp.cos(alpha)
+    valid = (cos_a > jnp.finfo(jnp.float32).tiny) & (norm > 0.0)
+    safe_norm = jnp.where(norm > 0.0, norm, 1.0)
+    s = sin_a / safe_norm
+    dir_cam = jnp.stack([s * xpix, s * ypix, cos_a], axis=-1)
+    dir_cam = jnp.where(
+        valid[..., None],
+        dir_cam,
+        jnp.array([0.0, 0.0, 1.0], jnp.float32),
+    )
+    return dir_cam, valid
+
+
 def pixel_to_ray(
     cameras: Cameras,
     img_idx: jnp.ndarray,
@@ -130,6 +170,26 @@ def pixel_to_ray(
         poses = poses + (cameras.poses_end[img_idx] - poses) * t[..., None, None]
     focal = cameras.focal[img_idx]  # (B, 2)
     principal = cameras.principal[img_idx]  # (B, 2)
+    if cameras.ftheta is not None:
+        # Fisheye: the polynomial consumes the centered uv directly (its
+        # own w/h scale lives in the params); focal is not used
+        # (common_device.cuh:265-269).  Invalid pixels (angle past the
+        # lens's valid field) get the reference's outside-the-aabb
+        # sentinel origin so they march to nothing and composite as
+        # background — the fixed-shape analog of "pixel is not rendered".
+        dir_cam, ft_valid = ftheta_undistortion(
+            cameras.ftheta, uv - principal
+        )
+        direction = jnp.sum(poses[..., :3] * dir_cam[..., None, :], axis=-1)
+        direction = direction / jnp.linalg.norm(
+            direction, axis=-1, keepdims=True
+        )
+        origin = jnp.where(
+            ft_valid[..., None],
+            poses[..., 3],
+            jnp.array([1000.0, 0.0, 0.0], jnp.float32),
+        )
+        return origin, direction
     res = cameras.size_of(img_idx)
     xy = (uv - principal) * res / focal
     if cameras.distortion is not None:

@@ -193,3 +193,93 @@ def test_render_image_uses_lens_distortion():
     a0, a1 = render(pin), render(dist)
     # The sphere silhouette must shift under the lens model.
     assert a0.shape == a1.shape and not np.allclose(a0, a1)
+
+
+# ---------------------------------------------------------------------------
+# FTheta fisheye lens mode (reference common.h:172, common_device.cuh:231-243,
+# nerf_loader.cu:448-457)
+# ---------------------------------------------------------------------------
+
+# Synthetic equidistant-ish fisheye intrinsics: alpha ~ 2.2e-3 * r_pix with
+# mild higher-order terms; 800x600 intrinsics scale.
+FTHETA = np.array([0.0, 2.2e-3, 1e-7, -3e-11, 0.0, 800.0, 600.0], np.float32)
+
+
+def test_ftheta_roundtrip_polynomial():
+    """dir from ftheta_undistortion must satisfy the defining polynomial:
+    polar angle == p(r) and azimuth == pixel offset direction."""
+    from neus2_tpu.engine.rays import ftheta_undistortion
+
+    rng = np.random.default_rng(0)
+    duv = (rng.uniform(-0.45, 0.45, size=(256, 2))).astype(np.float32)
+    d, valid = ftheta_undistortion(jnp.asarray(FTHETA), jnp.asarray(duv))
+    d, valid = np.asarray(d), np.asarray(valid)
+    xpix = duv[:, 0] * FTHETA[5]
+    ypix = duv[:, 1] * FTHETA[6]
+    r = np.hypot(xpix, ypix)
+    p = FTHETA
+    alpha = p[0] + r * (p[1] + r * (p[2] + r * (p[3] + r * p[4])))
+    ok = valid & (r > 1e-6)
+    assert ok.sum() > 200
+    # polar angle of the returned direction
+    got_alpha = np.arctan2(np.hypot(d[ok, 0], d[ok, 1]), d[ok, 2])
+    np.testing.assert_allclose(got_alpha, alpha[ok], atol=1e-5)
+    # azimuth preserved: (dx, dy) parallel to (xpix, ypix)
+    cross = d[ok, 0] * ypix[ok] - d[ok, 1] * xpix[ok]
+    np.testing.assert_allclose(cross, 0.0, atol=1e-4)
+
+
+def test_ftheta_invalid_pixels_get_sentinel_origin():
+    """Past the valid field (cos(alpha) <= 0) the ray must be un-renderable:
+    the reference returns an outside-the-aabb origin
+    (common_device.cuh:265-269)."""
+    from neus2_tpu.engine.rays import Cameras, pixel_to_ray
+
+    # strong lens: alpha = 0.005 * r -> r > ~314 pix is past 90 deg
+    params = np.array([0.0, 5e-3, 0, 0, 0, 800.0, 600.0], np.float32)
+    poses = np.eye(4)[None, :3, :].astype(np.float32)
+    cams = Cameras(
+        poses=jnp.asarray(poses),
+        focal=jnp.full((1, 2), 400.0),
+        principal=jnp.full((1, 2), 0.5),
+        resolution=(800, 600),
+        ftheta=jnp.asarray(params),
+    )
+    uv = jnp.asarray([[0.5 + 0.45, 0.5], [0.5 + 0.05, 0.5]], jnp.float32)
+    o, d = pixel_to_ray(cams, jnp.zeros((2,), jnp.int32), uv)
+    o = np.asarray(o)
+    assert o[0, 0] == 1000.0  # 0.45*800 = 360 pix -> alpha 1.8 rad, invalid
+    assert np.allclose(o[1], [0, 0, 0])  # valid pixel keeps the pose origin
+    # valid direction: forward-ish (+z in camera = identity world)
+    assert np.asarray(d)[1, 2] > 0.9
+
+
+def test_loader_reads_ftheta(tmp_path):
+    import imageio.v2 as imageio
+
+    from neus2_tpu.data.dataset import load_dataset
+
+    img = (np.random.default_rng(0).uniform(size=(8, 8, 4)) * 255).astype(
+        np.uint8
+    )
+    imageio.imwrite(tmp_path / "im0.png", img)
+    meta = {
+        "fl_x": 4.0, "fl_y": 4.0, "cx": 4.0, "cy": 4.0, "w": 8, "h": 8,
+        "ftheta_p0": 0.0, "ftheta_p1": 2e-3, "ftheta_p2": 0.0,
+        "ftheta_p3": 0.0, "ftheta_p4": 0.0,
+        # distortion keys too: ftheta must take precedence
+        # (assigned last in nerf_loader.cu:448-457)
+        "k1": 0.1, "k2": 0.0, "p1": 0.0, "p2": 0.0,
+        "frames": [
+            {"file_path": "im0.png",
+             "transform_matrix": np.eye(4).tolist()}
+        ],
+    }
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    ds = load_dataset(tmp_path / "transforms.json")
+    assert ds.ftheta is not None
+    np.testing.assert_allclose(
+        ds.ftheta, [0.0, 2e-3, 0, 0, 0, 8.0, 8.0]
+    )
+    cams = ds.cameras()
+    assert cams.ftheta is not None and cams.distortion is None
