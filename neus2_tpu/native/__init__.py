@@ -34,8 +34,10 @@ def lib() -> ctypes.CDLL:
         # A stale .so from an older checkout may predate newer entry points
         # (e.g. the image loader's il_* or raster_mesh); rebuild once if
         # any is missing.
-        if not hasattr(_lib, "il_load_batch") or not hasattr(
-            _lib, "raster_mesh"
+        if (
+            not hasattr(_lib, "il_load_batch")
+            or not hasattr(_lib, "raster_mesh")
+            or not hasattr(_lib, "tbvh_build")
         ):
             _lib = None
             _SO.unlink()
@@ -80,7 +82,97 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ]
+        _lib.tbvh_build.restype = ctypes.c_void_p
+        _lib.tbvh_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        _lib.tbvh_free.argtypes = [ctypes.c_void_p]
+        for fn in ("tbvh_signed_distance", "tbvh_unsigned_distance"):
+            getattr(_lib, fn).argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+        _lib.tbvh_raycast.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        _lib.tbvh_face_normals.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib.tbvh_n_tris.restype = ctypes.c_int64
+        _lib.tbvh_n_tris.argtypes = [ctypes.c_void_p]
     return _lib
+
+
+class TriangleBVH:
+    """Host triangle BVH: the GT signed-distance / raycast oracle for the
+    SDF-from-mesh mode (reference src/triangle_bvh.cu TriangleBvh4 —
+    unsigned_distance :405, signed_distance raystab :419, raytrace; OptiX
+    on GPU, threaded host C++ here).  Sign: negative inside."""
+
+    def __init__(self, verts: np.ndarray, faces: np.ndarray):
+        self._l = lib()
+        self._verts = np.ascontiguousarray(verts, np.float32)
+        self._faces = np.ascontiguousarray(faces, np.int32)
+        self._h = self._l.tbvh_build(
+            self._verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._verts.shape[0],
+            self._faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._faces.shape[0],
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._l.tbvh_free(h)
+            self._h = None
+
+    def signed_distance(self, pts: np.ndarray, n_threads: int = 0):
+        pts = np.ascontiguousarray(pts, np.float32).reshape(-1, 3)
+        out = np.empty(pts.shape[0], np.float32)
+        self._l.tbvh_signed_distance(
+            self._h, pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pts.shape[0], out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(n_threads),
+        )
+        return out
+
+    def unsigned_distance(self, pts: np.ndarray, n_threads: int = 0):
+        pts = np.ascontiguousarray(pts, np.float32).reshape(-1, 3)
+        out = np.empty(pts.shape[0], np.float32)
+        self._l.tbvh_unsigned_distance(
+            self._h, pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pts.shape[0], out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(n_threads),
+        )
+        return out
+
+    def raycast(self, origins: np.ndarray, dirs: np.ndarray,
+                n_threads: int = 0):
+        """Closest hit: (t (N,), tri_idx (N,)); t = -1 on miss."""
+        o = np.ascontiguousarray(origins, np.float32).reshape(-1, 3)
+        d = np.ascontiguousarray(dirs, np.float32).reshape(-1, 3)
+        t = np.empty(o.shape[0], np.float32)
+        tri = np.empty(o.shape[0], np.int32)
+        self._l.tbvh_raycast(
+            self._h, o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), o.shape[0],
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            tri.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(n_threads),
+        )
+        return t, tri
+
+    def face_normals(self):
+        n = self._l.tbvh_n_tris(self._h)
+        out = np.empty((n, 3), np.float32)
+        self._l.tbvh_face_normals(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return out
 
 
 def decode_images(paths, n_threads: int = 0) -> list:

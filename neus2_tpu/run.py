@@ -120,7 +120,91 @@ def parse_args(argv=None):
                         "(auto-detected on Cloud TPU VMs)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # SDF-from-mesh mode (reference testbed_sdf.cu; engine/sdf_mode.py):
+    # --mode sdf treats --scene as an OBJ mesh path, fits a neural SDF to
+    # the native-BVH ground truth, reports IoU, and optionally writes a
+    # sphere-traced normal-map render + an extracted mesh.
+    p.add_argument("--mode", choices=("nerf", "sdf", "image"),
+                   default="nerf",
+                   help="testbed mode: nerf (NeuS2 reconstruction, "
+                        "default), sdf (fit a mesh's SDF), or image "
+                        "(2-D image regression)")
+    p.add_argument("--sdf_render_res", type=int, default=512)
     return p.parse_args(argv)
+
+
+def main_image(args, out: "Path") -> None:
+    """Image-fit mode driver (reference testbed_image.cu:220)."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from neus2_tpu.engine import image_mode
+
+    img = np.asarray(imageio.imread(args.scene), np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    steps = args.n_steps or 1000
+    params, psnr = image_mode.fit_image(img, n_steps=steps, seed=args.seed)
+    print(f"image mode: {steps} steps, reconstruction PSNR {psnr:.2f} dB",
+          flush=True)
+    (out / "logs").mkdir(parents=True, exist_ok=True)
+    (out / "logs" / "image_eval.json").write_text(
+        __import__("json").dumps({"steps": steps, "psnr": psnr})
+    )
+    cfg = image_mode.Image2DConfig()
+    recon = image_mode.render_image_fit(
+        params, cfg, (img.shape[1], img.shape[0])
+    )
+    imageio.imwrite(
+        out / "image_recon.png",
+        (np.clip(np.asarray(recon), 0, 1) * 255).astype(np.uint8),
+    )
+
+
+def main_sdf(args, out: "Path") -> None:
+    """SDF-from-mesh mode driver (reference main.cu mode dispatch ->
+    testbed_sdf.cu)."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from neus2_tpu.engine import sdf_mode
+
+    steps = args.n_steps or 2000
+    params, cfg, bvh, (verts, faces) = sdf_mode.fit_mesh_sdf(
+        args.scene, n_steps=steps, seed=args.seed
+    )
+    iou = sdf_mode.eval_iou(params, cfg, bvh)
+    print(f"sdf mode: {steps} steps, IoU {iou:.4f}", flush=True)
+    (out / "logs").mkdir(parents=True, exist_ok=True)
+    (out / "logs" / "sdf_eval.json").write_text(
+        __import__("json").dumps({"steps": steps, "iou": iou})
+    )
+
+    import jax.numpy as jnp
+
+    from neus2_tpu.data.synthetic import _look_at
+
+    eye = np.array([0.5, -1.1, 1.0], np.float32)
+    pose = _look_at(eye, np.full(3, 0.5, np.float32),
+                    np.array([0.0, 0.0, 1.0], np.float32))
+    res = args.sdf_render_res
+    focal = jnp.full((2,), 0.5 * res / np.tan(0.35), jnp.float32)
+    rgb, _, _ = sdf_mode.render_sdf_sphere_traced(
+        params, jnp.asarray(pose), focal, cfg, resolution=(res, res)
+    )
+    imageio.imwrite(
+        out / "sdf_render.png",
+        (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8),
+    )
+    if args.save_mesh:
+        from neus2_tpu.engine.mesh import extract_mesh, save_mesh_obj
+
+        v, f = extract_mesh(params, cfg.field,
+                            resolution=args.mesh_resolution)
+        (out / "mesh").mkdir(parents=True, exist_ok=True)
+        save_mesh_obj(out / "mesh" / "sdf_mesh.obj", np.asarray(v),
+                      np.asarray(f))
+        print(f"mesh saved ({np.asarray(v).shape[0]} verts)", flush=True)
 
 
 def main(argv=None):
@@ -154,6 +238,14 @@ def main(argv=None):
     from neus2_tpu.engine.train import TrainConfig
 
     out = Path(args.output_dir) / args.name
+    if args.mode == "sdf":
+        out.mkdir(parents=True, exist_ok=True)
+        main_sdf(args, out)
+        return
+    if args.mode == "image":
+        out.mkdir(parents=True, exist_ok=True)
+        main_image(args, out)
+        return
     if primary:
         for sub in ("checkpoints", "mesh", "logs"):
             (out / sub).mkdir(parents=True, exist_ok=True)
