@@ -149,7 +149,7 @@ def main_image(args, out: "Path") -> None:
           flush=True)
     (out / "logs").mkdir(parents=True, exist_ok=True)
     (out / "logs" / "image_eval.json").write_text(
-        __import__("json").dumps({"steps": steps, "psnr": psnr})
+        json.dumps({"steps": steps, "psnr": psnr})
     )
     cfg = image_mode.Image2DConfig()
     recon = image_mode.render_image_fit(
@@ -177,7 +177,7 @@ def main_sdf(args, out: "Path") -> None:
     print(f"sdf mode: {steps} steps, IoU {iou:.4f}", flush=True)
     (out / "logs").mkdir(parents=True, exist_ok=True)
     (out / "logs" / "sdf_eval.json").write_text(
-        __import__("json").dumps({"steps": steps, "iou": iou})
+        json.dumps({"steps": steps, "iou": iou})
     )
 
     import jax.numpy as jnp
