@@ -33,9 +33,16 @@ def _note(msg: str) -> None:
           flush=True)
 
 # Persistent compile cache: the flagship step takes 3-5 min to compile over
-# the tunnel; cached reruns start in seconds (PERF.md).
-jax.config.update("jax_compilation_cache_dir", "/tmp/neus2_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# the tunnel; cached reruns start in seconds (PERF.md).  NOT under forced
+# CPU (tests / dryrun): CPU compiles are fast, and writing big 8-virtual-
+# device CPU executables to the cache can segfault the process
+# (jax compilation_cache.put_executable_and_time — reproduced 2026-08-21;
+# the long-single-process suite crash class, tests/run_suite.sh notes).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/neus2_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 BASELINE_RAYS_PER_S = 33_000.0
 

@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# No persistent compilation cache in tests: serializing large 8-virtual-
+# device CPU executables through the cache-write path can SEGFAULT the
+# process (jax compilation_cache.put_executable_and_time; reproduced
+# 2026-08-21 after a test imported bench.py, which enables the cache for
+# TPU runs).  Tests must also never inherit a cache dir from the env.
+jax.config.update("jax_compilation_cache_dir", None)
 # Force the platform list to cpu BEFORE any backend initializes: the axon
 # plugin sets jax_platforms="axon,cpu" at registration, and initializing it
 # blocks forever when the tunnel relay is down (see utils/cpuforce.py).

@@ -95,7 +95,15 @@ def main():
 
     grid = flagship_grid(os.environ.get("CSG_CONFIG", "") or "parity")
     config = TrainConfig(
-        field=FieldConfig(grid=grid),
+        # CSG_BF16=1: bf16 MLP/backward compute (fp32 master params), the
+        # bench precision; quality parity gate-tested at <=0.3 dB
+        # (test_train_e2e.py::test_bf16_compute_quality_parity).  Needed
+        # on-chip for l4f8: the fp32 l4f8 backward's F=8 unpacked
+        # segment-sum payload crashes the v5e worker (round-5 bisect).
+        field=FieldConfig(
+            grid=grid,
+            compute_dtype=jnp.bfloat16 if os.environ.get("CSG_BF16") else None,
+        ),
         n_rays=4096,
         samples_per_ray=64,
         n_candidates=256,
