@@ -23,10 +23,13 @@ except Exception: print(0)" "$1"
 }
 
 # --- A: l4f8 quality, 4k steps ---------------------------------------------
+# CSG_BF16: the fp32 l4f8 48-view program crashes the v5e worker at run
+# time (round-5 bisect: compaction/emap exonerated, parity-fp32 and
+# l4f8-bf16 fine) — l4f8 ships at the bench/product bf16 precision.
 JSONF=/tmp/tpu_validate_csg_48v_256_l4f8.json
 for i in $(seq 1 8); do
   [ "$(json_steps "$JSONF")" -ge 4000 ] && break
-  env CSG_VIEWS=48 CSG_ERROR_MAP=1 CSG_CONFIG=l4f8 CSG_BUDGET_S=700 \
+  env CSG_VIEWS=48 CSG_ERROR_MAP=1 CSG_CONFIG=l4f8 CSG_BF16=1 CSG_BUDGET_S=700 \
     timeout 2500 python -u tools_tpu_validate_csg.py 4000 >> "$LOG" 2>&1
   echo "exit $? : A chunk $i" >> "$LOG"
   sleep 2
