@@ -102,3 +102,65 @@ def sharpen_images(images, amount: float):
         - p[:, 1:-1, 2:]
     ) * (1.0 / (center_w - 4.0))
     return np.maximum(out, 0.0).astype(images.dtype)
+
+def sharpness_maps(
+    images, resolution: tuple[int, int] = (128, 72)
+) -> "np.ndarray":
+    """Per-image variance-of-Laplacian sharpness grids (host, load time).
+
+    The reference computes these once at dataset load (compute_sharpness,
+    nerf_loader.cu:129-169: rec.709 luma, 4-neighbor Laplacian over the
+    image interior, per-cell variance on a 128x72 grid with the cell's
+    pixel range x1 = x*W/rs clamped to [1, W-2]) and consumes them in the
+    error-map deposit when include_sharpness_in_error is on
+    (testbed_nerf.cu:1748-1756).  Vectorized with integral images.
+
+    ``images``: (N, H, W, C>=3) float array-like.  Returns (N, rh, rw)
+    float32 where (rw, rh) = resolution.
+    """
+    import numpy as np
+
+    imgs = np.asarray(images, np.float32)
+    n, h, w = imgs.shape[:3]
+    rw, rh = resolution
+    lum = (
+        imgs[..., 0] * 0.2126 + imgs[..., 1] * 0.7152 + imgs[..., 2] * 0.0722
+    )
+    # 4-neighbor Laplacian on the interior (the reference never reads
+    # outside [1, dim-2]).
+    lap = np.zeros_like(lum)
+    lap[:, 1:-1, 1:-1] = (
+        4.0 * lum[:, 1:-1, 1:-1]
+        - lum[:, :-2, 1:-1]
+        - lum[:, 2:, 1:-1]
+        - lum[:, 1:-1, :-2]
+        - lum[:, 1:-1, 2:]
+    )
+    # integral images over (lap, lap^2): cell sums in O(1) per cell
+    ii = np.zeros((n, h + 1, w + 1), np.float64)
+    ii2 = np.zeros((n, h + 1, w + 1), np.float64)
+    ii[:, 1:, 1:] = lap.cumsum(1).cumsum(2)
+    ii2[:, 1:, 1:] = (lap * lap).cumsum(1).cumsum(2)
+
+    xs = np.arange(rw + 1) * w // rw
+    ys = np.arange(rh + 1) * h // rh
+    x1 = np.maximum(xs[:-1], 1)
+    x2 = np.minimum(xs[1:], w - 2)
+    y1 = np.maximum(ys[:-1], 1)
+    y2 = np.minimum(ys[1:], h - 2)
+
+    def rect(a):
+        # (N, rh, rw) sums of a over [y1:y2) x [x1:x2)
+        return (
+            a[:, y2[:, None], x2[None, :]]
+            - a[:, y1[:, None], x2[None, :]]
+            - a[:, y2[:, None], x1[None, :]]
+            + a[:, y1[:, None], x1[None, :]]
+        )
+
+    cnt = np.maximum(
+        (y2 - y1)[:, None] * (x2 - x1)[None, :], 1
+    ).astype(np.float64)
+    m = rect(ii) / cnt
+    m2 = rect(ii2) / cnt
+    return np.maximum(m2 - m * m, 0.0).astype(np.float32)
