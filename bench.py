@@ -32,15 +32,17 @@ def _note(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
           flush=True)
 
-# Persistent compile cache: the flagship step takes 3-5 min to compile over
-# the tunnel; cached reruns start in seconds (PERF.md).  NOT under forced
-# CPU (tests / dryrun): CPU compiles are fast, and writing big 8-virtual-
-# device CPU executables to the cache can segfault the process
-# (jax compilation_cache.put_executable_and_time — reproduced 2026-08-21;
-# the long-single-process suite crash class, tests/run_suite.sh notes).
-import os as _os
+# Persistent compile cache: the flagship step takes 3-5 min to compile
+# over the tunnel; cached reruns start in seconds (PERF.md).  Enabled in
+# main() ONLY — importing this module (tests, tools) must never turn the
+# cache on: writing big 8-virtual-device XLA:CPU executables through the
+# cache-write path aborts/segfaults the process (jax
+# compilation_cache.put_executable_and_time — reproduced twice
+# 2026-08-21; the long-single-process suite crash class).  Note the env
+# here has JAX_PLATFORMS=axon globally, so env-based guards do NOT work.
 
-if _os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+
+def _enable_compile_cache():
     jax.config.update("jax_compilation_cache_dir", "/tmp/neus2_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
@@ -503,6 +505,7 @@ def main():
         }))
         return
 
+    _enable_compile_cache()
     if not _probe_backend_with_retry():
         sys.exit(_emit_failure(
             "TPU backend unreachable after 3 probe attempts over ~15 min "

@@ -8,7 +8,10 @@ default device to CPU — tests must not round-trip through the TPU tunnel.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the deployment shell exports JAX_PLATFORMS=axon
+# globally, which would both leave the TPU plugin first in line and defeat
+# env-based CPU guards in modules the tests import (e.g. bench.py).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
