@@ -245,6 +245,32 @@ def init_cam_params(n_images: int, config: "TrainConfig | None" = None) -> Param
 def init_train_state(
     key: jax.Array, config: TrainConfig, n_images: int = 1
 ) -> TrainState:
+    # fp32 compute with F=8 grids crashes the v5e TPU runtime at step
+    # execution ("kernel fault"; PERF.md round-5 bisect — bf16, the
+    # product precision, is unaffected).  Host-side warning only: CPU
+    # fp32 F=8 is fine, and the backend probe must not be load-bearing.
+    if (
+        config.field.compute_dtype is None
+        and config.field.grid.n_features_per_level >= 8
+    ):
+        try:
+            # Where the step will actually run: the pinned default device
+            # when set (tests/CPU runs pin it), else the default backend.
+            dd = jax.config.jax_default_device
+            platform = (
+                dd.platform if dd is not None else jax.default_backend()
+            )
+        except Exception:
+            platform = ""
+        if platform not in ("cpu", ""):
+            import warnings
+
+            warnings.warn(
+                "fp32 compute with n_features_per_level>=8 crashes the "
+                "v5e TPU runtime (PERF.md round 5); use "
+                "compute_dtype=jnp.bfloat16 for F=8 grids on TPU.",
+                stacklevel=2,
+            )
     k_field, k_loop = jax.random.split(key)
     params = init_field(k_field, config.field)
     tx = make_optimizer(config.optim)
