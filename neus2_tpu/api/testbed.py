@@ -815,6 +815,16 @@ class Testbed:
         if self.train_delta and not self.train_canonical:
             # Pure pose refinement: small ray batch (TrainConfig.delta_n_rays).
             changes["n_rays"] = min(cfg.n_rays, cfg.delta_n_rays)
+            # No hit-ray compaction while the pose is being refined: the
+            # candidate probe selects rays by occupancy hits, and during
+            # refinement occupancy reflects the STALE pose — biasing the
+            # batch toward where the object WAS and starving the rays
+            # that would pull it to where it IS.  Measured on the r5
+            # 48-view @256^2 flagship dynamic run: with compaction on in
+            # this phase, frame-2 pose error blew up to 0.376 (vs ~0.03
+            # expected); the toy-scale protocols that validated pose
+            # recovery all ran pre-compaction-default.
+            changes["hit_oversample"] = 1
         if self.current_training_time_frame > 0:
             # Frames >= 1: the progressive grid unlock runs on the offset
             # step so the pose-refinement phase sees all levels
