@@ -58,6 +58,12 @@ class Hyperparams:
     predict_global_movement: bool = True
     predict_global_movement_training_step: int = 50
     finetune_global_movement: bool = True
+    # Coarse-to-fine pose refinement: run the delta phase under the natural
+    # progressive-unlock schedule (coarse levels first) instead of the
+    # reference's all-levels refinement — the identity-init attraction
+    # basin at full flagship sharpness is ~cells-of-the-finest-level wide,
+    # far smaller than realistic per-frame motion (PERF.md round-5 close).
+    refine_coarse_to_fine: bool = False
     mask_loss_weight: float = 0.0
     ek_loss_weight: float = 0.1
     # Reference default TRUE (testbed.h:474): re-seed the occupancy grid
@@ -389,6 +395,15 @@ class Testbed:
         else:
             self.dataset = load_dataset(self.frame_jsons[idx], n_frames_cap)
         self.cameras = self.dataset.cameras()
+        if self.config.include_sharpness_in_error:
+            # Load-time per-image sharpness grids (reference
+            # compute_sharpness at dataset load, nerf_loader.cu:129-178;
+            # 128x72 cells).
+            from neus2_tpu.ops.image import sharpness_maps
+
+            self.cameras = self.cameras._replace(
+                sharpness=jnp.asarray(sharpness_maps(self.dataset.images))
+            )
         self.depths = self.dataset.depths_device()
         self._refresh_images()
 
@@ -838,9 +853,23 @@ class Testbed:
             # (testbed.cu:2383) and remains Huber.  Empirically an L2 switch
             # also degrades pose recovery on the moving-sphere scene.
             if self.hyper.predict_global_movement:
-                changes["valid_level_step_offset"] = (
-                    self.hyper.predict_global_movement_training_step
-                )
+                if self.hyper.refine_coarse_to_fine:
+                    # Coarse-to-fine pose refinement (ours; measured lever
+                    # for large per-frame motion at flagship sharpness —
+                    # PERF.md round-5 close): let the delta phase run the
+                    # natural progressive-unlock schedule from frame_step 0
+                    # (few coarse levels first, fine levels joining as the
+                    # pose closes in) instead of forcing all levels.  The
+                    # canonical phase after refinement sees all levels
+                    # regardless (frame_step is past the unlock by then for
+                    # typical next_frame budgets; the offset stays 0).
+                    pass
+                else:
+                    # Reference behavior: the refinement phase sees every
+                    # level (testbed.cu:2652-2657).
+                    changes["valid_level_step_offset"] = (
+                        self.hyper.predict_global_movement_training_step
+                    )
         if (
             self.current_training_time_frame > 0
             and cfg.optim.after_learning_rate != cfg.optim.learning_rate
@@ -893,7 +922,13 @@ class Testbed:
             cam=cam,
             cam_opt_state=make_cam_optimizer(self.config).init(cam),
             error_map=emap_mod.init_error_map(
-                self.dataset.n_images, self.config.error_map_res
+                self.dataset.n_images,
+                self.config.error_map_res,
+                sharpness_cells=(
+                    self.config.occ_cascades * occ_mod.NERF_GRIDSIZE**3
+                    if self.config.include_sharpness_in_error
+                    else 0
+                ),
             ),
             frame_step=jnp.zeros((), jnp.int32),
         )

@@ -46,19 +46,61 @@ def resolution_for(n_rays_per_step: int, n_images: int, image_res: int) -> int:
 class ErrorMapState(NamedTuple):
     error_map: jnp.ndarray  # (N_img, R, R) loss accumulated this window
     cdf: jnp.ndarray  # (N_img*R*R,) inclusive prefix sums (rebuilt lazily)
+    # Running per-cell max of observed image sharpness at 3-D hit points
+    # ((cascades*G^3,) f32, decayed 0.95/step), None unless
+    # include_sharpness_in_error is on (reference m_nerf.training.
+    # sharpness_grid, testbed_nerf.cu:3448-3459; consumed at the deposit,
+    # :1748-1756).  None by default so the standard pytree/HLO is
+    # unchanged.
+    sharpness_grid: jnp.ndarray | None = None
 
     @property
     def res(self) -> int:
         return self.error_map.shape[1]
 
 
-def init_error_map(n_images: int, res: int = ERROR_MAP_RES) -> ErrorMapState:
+def init_error_map(
+    n_images: int, res: int = ERROR_MAP_RES, sharpness_cells: int = 0
+) -> ErrorMapState:
     flat = n_images * res * res
     # Uniform CDF at init.
     return ErrorMapState(
         error_map=jnp.zeros((n_images, res, res), jnp.float32),
         cdf=jnp.arange(1, flat + 1, dtype=jnp.float32) / flat,
+        sharpness_grid=(
+            jnp.zeros((sharpness_cells,), jnp.float32)
+            if sharpness_cells
+            else None
+        ),
     )
+
+
+def sharpness_weight_and_update(
+    grid: jnp.ndarray,
+    cells: jnp.ndarray,
+    sharp: jnp.ndarray,
+    valid: jnp.ndarray,
+    decay: float = 0.95,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray sharpness deposit weight + the updated sharpness grid.
+
+    The reference decays the grid 0.95/step (testbed_nerf.cu:3458
+    decay_sharpness_grid_nerf), atomicMax-es each hit cell with the ray's
+    image-space sharpness, and scales the deposited loss by
+    max(sharp / grid_sharp, 0.01) where grid_sharp includes this ray's
+    own observation (:1748-1756) — rays whose image is blurrier than the
+    sharpest observation of that surface point are down-weighted.
+    TPU version: decay, one scatter-max (a few-k updates — far below the
+    measured scatter cliffs), gather, same floor.  ``valid`` masks rays
+    with an in-aabb hit; invalid rays get weight 1 and no deposit.
+    """
+    g = grid * decay
+    old = jnp.take(g, cells)
+    contrib = jnp.where(valid, sharp, 0.0)
+    g = g.at[cells].max(contrib)
+    grid_sharp = jnp.maximum(jnp.maximum(old, sharp), 1e-20)
+    w = jnp.where(valid, jnp.maximum(sharp / grid_sharp, 0.01), 1.0)
+    return w, g
 
 
 def deposit(

@@ -45,6 +45,10 @@ class Cameras(NamedTuple):
     # stored zero-padded to the shared (W, H) (reference metadata is
     # per-image, nerf_loader.h:33-48); None = all images at `resolution`.
     image_sizes: jnp.ndarray | None = None
+    # Per-image sharpness grids (N, sh, sw) for include_sharpness_in_error
+    # (reference dataset.sharpness_data, nerf_loader.h:75-76; computed at
+    # load by ops/image.py sharpness_maps); None when the feature is off.
+    sharpness: jnp.ndarray | None = None
 
     @property
     def n_images(self) -> int:

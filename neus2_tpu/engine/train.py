@@ -124,6 +124,13 @@ class TrainConfig:
     # Error-map importance sampling (reference wants_importance_sampling).
     use_error_map: bool = False
     error_map_res: int = 32
+    # Sharpness-weighted error-map deposits (reference
+    # include_sharpness_in_error, testbed.h:638 default false;
+    # testbed_nerf.cu:1748-1756, 3448-3459): down-weight deposits from
+    # rays whose image is blurrier than the sharpest observation of the
+    # hit surface cell.  Needs Cameras.sharpness (the Testbed computes it
+    # at load via ops/image.py sharpness_maps).
+    include_sharpness_in_error: bool = False
     # Camera optimization (reference optimize_extrinsics / exposure /
     # focal_length, testbed_nerf.cu:3641-3692).
     optimize_extrinsics: bool = False
@@ -212,6 +219,10 @@ class StepExtras(NamedTuple):
     img_idx: jnp.ndarray  # (B,)
     uv: jnp.ndarray  # (B, 2)
     ray_loss: jnp.ndarray  # (B,)
+    # Updated sharpness grid when include_sharpness_in_error is on (the
+    # weighting + scatter-max happen inside the loss where hit depths
+    # live); None otherwise so the default pytree/HLO is unchanged.
+    sharpness_grid: jnp.ndarray | None = None
 
 
 def init_cam_params(n_images: int, config: "TrainConfig | None" = None) -> Params:
@@ -289,7 +300,15 @@ def init_train_state(
         cam=cam,
         cam_opt_state=cam_tx.init(cam),
         occupancy=occ.init_occupancy(config.occ_cascades),
-        error_map=emap.init_error_map(max(n_images, 1), config.error_map_res),
+        error_map=emap.init_error_map(
+            max(n_images, 1),
+            config.error_map_res,
+            sharpness_cells=(
+                config.occ_cascades * occ.NERF_GRIDSIZE**3
+                if config.include_sharpness_in_error
+                else 0
+            ),
+        ),
         step=jnp.zeros((), jnp.int32),
         frame_step=jnp.zeros((), jnp.int32),
         key=k_loop,
@@ -637,8 +656,48 @@ def _forward_loss(
         ),
     )
     dep_loss = jax.lax.stop_gradient(rgb_l * ray_w)
+    new_sharp_grid = None
+    if (
+        config.include_sharpness_in_error
+        and config.use_error_map
+        and cameras.sharpness is not None
+        and state.error_map.sharpness_grid is not None
+    ):
+        # Sharpness-weighted deposits (testbed_nerf.cu:1748-1756): weight
+        # the SELECTED rays' deposit by how sharp their image is at this
+        # pixel relative to the sharpest observation of the hit cell
+        # (rejected candidates are misses — no hit point, weight 1).
+        sm = cameras.sharpness  # (N_img, sh, sw)
+        sh, sw = sm.shape[1], sm.shape[2]
+        sx = jnp.clip((uv[:, 0] * sw).astype(jnp.int32), 0, sw - 1)
+        sy = jnp.clip((uv[:, 1] * sh).astype(jnp.int32), 0, sh - 1)
+        sharp = sm[img_idx, sy, sx] + 1e-6
+        hitpoint = jax.lax.stop_gradient(
+            origins + comp.depth[:, None] * dirs
+        )
+        in_box = jnp.all(
+            (hitpoint >= aabb.lo) & (hitpoint <= aabb.hi), axis=-1
+        )
+        valid = hit_ray & in_box & (ray_w > 0)
+        mip = occ.mip_from_pos(hitpoint, config.occ_cascades - 1)
+        scale = jnp.exp2(-mip.astype(jnp.float32))[:, None]
+        cellf = ((hitpoint - 0.5) * scale + 0.5) * occ.NERF_GRIDSIZE
+        cxyz = jnp.clip(cellf.astype(jnp.int32), 0, occ.NERF_GRIDSIZE - 1)
+        flat_cell = (
+            mip * occ.NERF_GRIDSIZE**3
+            + cxyz[:, 0]
+            + cxyz[:, 1] * occ.NERF_GRIDSIZE
+            + cxyz[:, 2] * occ.NERF_GRIDSIZE**2
+        )
+        w_sharp, new_sharp_grid = emap.sharpness_weight_and_update(
+            state.error_map.sharpness_grid, flat_cell, sharp, valid
+        )
+        dep_loss = dep_loss * jax.lax.stop_gradient(w_sharp)
     if rest is None:
-        extras = StepExtras(img_idx=img_idx, uv=uv, ray_loss=dep_loss)
+        extras = StepExtras(
+            img_idx=img_idx, uv=uv, ray_loss=dep_loss,
+            sharpness_grid=new_sharp_grid,
+        )
     else:
         # Every candidate deposits to the error map (selected rays first,
         # then rejects — deposit order is irrelevant); excluded rays carry
@@ -647,6 +706,7 @@ def _forward_loss(
             img_idx=jnp.concatenate([img_idx, jnp.take(img_c, rest)]),
             uv=jnp.concatenate([uv, jnp.take(uv_c, rest, axis=0)]),
             ray_loss=jnp.concatenate([dep_loss, rest_dep_loss]),
+            sharpness_grid=new_sharp_grid,
         )
     return total, (aux, extras)
 
@@ -741,6 +801,10 @@ def train_step(
         new_emap = emap.deposit(
             state.error_map, extras.img_idx, extras.uv, extras.ray_loss
         )
+        if extras.sharpness_grid is not None:
+            new_emap = new_emap._replace(
+                sharpness_grid=extras.sharpness_grid
+            )
 
     new_ema = ema_update(state.ema_params, new_params, config.ema_decay)
     return (

@@ -139,6 +139,9 @@ def main():
     train_frames = [drop_last(ds) for ds in frames_full]
 
     hyper = Hyperparams(
+        # DYN_C2F=1: coarse-to-fine pose refinement (round-5 full-scale
+        # finding — see Hyperparams.refine_coarse_to_fine).
+        refine_coarse_to_fine=os.environ.get("DYN_C2F", "0") == "1",
         first_frame_max_training_step=FRAME0_STEPS,
         next_frame_max_training_step=NEXT_STEPS,
         predict_global_movement=PREDICT,
