@@ -62,8 +62,12 @@ class Hyperparams:
     # progressive-unlock schedule (coarse levels first) instead of the
     # reference's all-levels refinement — the identity-init attraction
     # basin at full flagship sharpness is ~cells-of-the-finest-level wide,
-    # far smaller than realistic per-frame motion (PERF.md round-5 close).
-    refine_coarse_to_fine: bool = False
+    # far smaller than realistic per-frame motion.  Default ON since
+    # round 5: measured +4.4 dB mean / 2-3x smaller pose error on the
+    # full-scale 48-view dynamic protocol AND +0.9 dB on the toy protocol
+    # (PERF.md round-5 close); False restores reference behavior
+    # (testbed.cu:2652-2657).
+    refine_coarse_to_fine: bool = True
     mask_loss_weight: float = 0.0
     ek_loss_weight: float = 0.1
     # Reference default TRUE (testbed.h:474): re-seed the occupancy grid

@@ -177,9 +177,12 @@ def test_dynamic_scene_pose_recovery():
 
 
 def test_frame_config_next_frame_overrides():
-    """Frames >= 1: the progressive-unlock step offset (testbed.cu:2652-2657)
-    applies; the rgb loss does NOT switch to L2 (the reference's write at
-    testbed.cu:2038 affects only the bypassed tcnn Loss)."""
+    """Frames >= 1: coarse-to-fine refinement (the round-5 default — the
+    delta phase runs the natural unlock schedule, offset 0) vs the
+    reference's all-levels offset (testbed.cu:2652-2657, reachable with
+    refine_coarse_to_fine=False); the rgb loss does NOT switch to L2 (the
+    reference's write at testbed.cu:2038 affects only the bypassed tcnn
+    Loss)."""
     tb = Testbed(
         config=tiny_config(),
         hyper=Hyperparams(
@@ -196,11 +199,26 @@ def test_frame_config_next_frame_overrides():
     # testbed.cu:2038 only touches the BYPASSED tcnn Loss object (see
     # Testbed._frame_config for the full citation chain).
     assert cfg1.rgb_loss_type == "Huber"
-    assert cfg1.valid_level_step_offset == 50
-    # During pose refinement (frame_step < offset) the encoder must see ALL
-    # levels: step - offset <= 0 => valid_level = n_levels (grid.h:2427).
+    # Default (coarse-to-fine): no offset — refinement starts at the
+    # coarse end of the unlock schedule (PERF.md round 5: +4.4 dB mean /
+    # 2-3x smaller pose error on the full-scale dynamic protocol).
+    assert cfg1.valid_level_step_offset == 0
     g = cfg1.field.grid
-    assert int(g.valid_level(jnp.asarray(10) - cfg1.valid_level_step_offset)) == g.n_levels
+    assert int(g.valid_level(jnp.asarray(10))) < g.n_levels
+
+    # Reference behavior behind the flag: during pose refinement
+    # (frame_step < offset) the encoder sees ALL levels
+    # (step - offset <= 0 => valid_level = n_levels, grid.h:2427).
+    tb.hyper = Hyperparams(
+        predict_global_movement=True,
+        predict_global_movement_training_step=50,
+        refine_coarse_to_fine=False,
+    )
+    cfg_ref = tb._frame_config()
+    assert cfg_ref.valid_level_step_offset == 50
+    assert int(
+        g.valid_level(jnp.asarray(10) - cfg_ref.valid_level_step_offset)
+    ) == g.n_levels
 
 
 def test_adaptive_batch_bucket():
