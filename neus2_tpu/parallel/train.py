@@ -139,7 +139,15 @@ def parallel_train_step(
         # Gradient all-reduce over ICI; XLA overlaps this with backward.
         grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, "data"), grads)
         aux = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, "data"), aux)
-        return grads, aux, extras
+        # Sharpness grid (include_sharpness_in_error): per-shard grids are
+        # elementwise-MAX combined (the scatter-max semantics across all
+        # rays) and returned replicated — it must not ride the P("data")
+        # extras spec, which would concatenate shards.
+        sharp_grid = extras.sharpness_grid
+        if sharp_grid is not None:
+            sharp_grid = jax.lax.pmax(sharp_grid, "data")
+        extras = extras._replace(sharpness_grid=None)
+        return grads, aux, extras, sharp_grid
 
     diff = {}
     if train_canonical:
@@ -155,10 +163,10 @@ def parallel_train_step(
         device_grads,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P("data")),
+        out_specs=(P(), P(), P("data"), P()),
         check_vma=False,
     )
-    grads, aux, extras = sharded(
+    grads, aux, extras, sharp_grid = sharded(
         diff, state, images, cameras, k_step, depths
     )
 
@@ -183,6 +191,8 @@ def parallel_train_step(
         new_emap = emap.deposit(
             state.error_map, extras.img_idx, extras.uv, extras.ray_loss
         )
+        if sharp_grid is not None:
+            new_emap = new_emap._replace(sharpness_grid=sharp_grid)
 
     new_ema = ema_update(state.ema_params, new_params, config.ema_decay)
     return (
@@ -321,7 +331,11 @@ def _train_step_zero1(
             gather_leaf, new_params_sh, state_.params
         )
         side_grads = {k: grads[k] for k in ("delta", "cam") if k in grads}
-        return new_params, new_opt, side_grads, aux, extras
+        sharp_grid = extras.sharpness_grid
+        if sharp_grid is not None:
+            sharp_grid = jax.lax.pmax(sharp_grid, axis)
+        extras = extras._replace(sharpness_grid=None)
+        return new_params, new_opt, side_grads, aux, extras, sharp_grid
 
     state_specs = _zero1_state_specs(state, n_dev, axis)
     opt_specs = table_spec_tree(state.opt_state, n_dev, axis)
@@ -329,10 +343,10 @@ def _train_step_zero1(
         body,
         mesh=mesh,
         in_specs=(P(), state_specs, P(), P(), P(), P()),
-        out_specs=(P(), opt_specs, P(), P(), P(axis)),
+        out_specs=(P(), opt_specs, P(), P(), P(axis), P()),
         check_vma=False,
     )
-    new_params, new_opt, side_grads, aux, extras = sharded(
+    new_params, new_opt, side_grads, aux, extras, sharp_grid = sharded(
         diff, state, images, cameras, k_step, depths
     )
 
@@ -356,6 +370,8 @@ def _train_step_zero1(
         new_emap = emap.deposit(
             state.error_map, extras.img_idx, extras.uv, extras.ray_loss
         )
+        if sharp_grid is not None:
+            new_emap = new_emap._replace(sharpness_grid=sharp_grid)
 
     new_ema = ema_update(state.ema_params, new_params, config.ema_decay)
     return (

@@ -110,3 +110,43 @@ def test_testbed_integration_smoke():
     )
     assert tb2.state.error_map.sharpness_grid is None
     assert tb2.cameras.sharpness is None
+
+
+def test_multichip_sharpness_grid_updates():
+    """Under shard_map the per-shard sharpness grids are pmax-combined and
+    written back replicated (parallel/train.py) — not concatenated by the
+    extras' P('data') spec."""
+    import jax
+
+    from neus2_tpu.api.testbed import Hyperparams, Testbed
+    from neus2_tpu.data.synthetic import make_sphere_dataset
+    from neus2_tpu.engine.train import TrainConfig
+    from neus2_tpu.models.field import FieldConfig
+    from neus2_tpu.ops.hashgrid import HashGridConfig
+
+    cfg = TrainConfig(
+        field=FieldConfig(
+            grid=HashGridConfig(n_levels=3, log2_hashmap_size=10,
+                                base_resolution=8, per_level_scale=1.5),
+            sdf_hidden_dim=16, rgb_hidden_dim=16,
+        ),
+        n_rays=64, samples_per_ray=8, n_candidates=16, occ_n_probe=1 << 10,
+        use_error_map=True,
+        include_sharpness_in_error=True,
+        mask_loss_weight=0.1,
+    )
+    tb = Testbed(config=cfg, hyper=Hyperparams(first_frame_max_training_step=10))
+    tb.load_training_data_from_datasets(
+        [make_sphere_dataset(n_views=2, resolution=24)]
+    )
+    assert tb.enable_multichip() == len(jax.devices("cpu"))
+    for _ in range(6):
+        tb.train()
+    sg = tb.state.error_map.sharpness_grid
+    assert sg is not None
+    import numpy as np
+
+    arr = np.asarray(jax.device_get(sg))
+    # grid shape preserved (no shard concatenation) and hit cells recorded
+    assert arr.shape == (cfg.occ_cascades * 128**3,)
+    assert np.isfinite(arr).all() and arr.max() > 0.0
